@@ -1,0 +1,96 @@
+"""Multichannel STFT and log-power utilities as pure jittable JAX functions.
+
+Numerical semantics match librosa's defaults used throughout the reference
+(center=True, reflect padding, periodic Hann; see reference
+dataset/salsa_feature_extraction.py:186-192), because SELD parity targets require
+bit-level-close features. Layout convention here is TPU-friendly:
+channels lead, time before frequency: (..., n_frames, n_bins).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, periodic: bool = True, dtype=np.float32) -> np.ndarray:
+    """Periodic (fftbins=True) Hann window, identical to scipy/librosa default."""
+    n = win_length if periodic else win_length - 1
+    k = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(dtype)
+
+
+def n_stft_frames(n_samples: int, hop_length: int, n_fft: int, center: bool = True) -> int:
+    """Number of STFT frames produced for a signal of given length."""
+    if center:
+        return 1 + n_samples // hop_length
+    return 1 + (n_samples - n_fft) // hop_length
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """Slice (..., n_samples) into overlapping frames (..., n_frames, frame_length).
+
+    Implemented as a gather with a static index grid — this compiles to an efficient
+    dynamic-slice fusion on TPU and keeps shapes fully static for XLA.
+    """
+    n_samples = x.shape[-1]
+    n_frames = 1 + (n_samples - frame_length) // hop_length
+    idx = (
+        np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
+        + np.arange(frame_length, dtype=np.int32)[None, :]
+    )
+    return x[..., idx]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "center", "pad_mode")
+)
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 512,
+    hop_length: int = 300,
+    win_length: int | None = None,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Multichannel STFT.
+
+    Args:
+        x: (..., n_samples) float signal (any number of leading batch/channel dims).
+    Returns:
+        Complex spectrogram (..., n_frames, n_fft//2 + 1).
+    """
+    if win_length is None:
+        win_length = n_fft
+    window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop_length)
+    frames = frames * window
+    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+def istft_frames(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Inverse rFFT per frame (no overlap-add) — used by GCC-PHAT."""
+    return jnp.fft.irfft(spec, n=n_fft, axis=-1)
+
+
+def power_to_db(
+    power: jnp.ndarray,
+    ref: float = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = None,
+) -> jnp.ndarray:
+    """10*log10 with clamping, matching librosa.power_to_db semantics
+    (reference uses ref=1.0, amin=1e-10, top_db=None everywhere)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(power, amin))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref))
+    if top_db is not None:
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+    return log_spec

