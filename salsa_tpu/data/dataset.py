@@ -1,0 +1,71 @@
+"""Chunk dataset + host batching.
+
+`SeldChunkDataset` slices fixed-length windows out of the concatenated split arrays
+(reference dataset/dataloader.py:13-62); `batch_iterator` replaces the torch
+DataLoader: shuffled fixed-size batches for training (incomplete tail dropped only if
+requested), sequential one-clip batches for val/test so overlapping chunks of a clip
+can be recombined downstream.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from salsa_tpu.data.database import SplitData
+
+
+class SeldChunkDataset:
+    def __init__(self, data: SplitData, joint_transform=None, transform=None):
+        self.data = data
+        self.joint_transform = joint_transform
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int):
+        d = self.data
+        f0 = d.feature_chunk_starts[index]
+        l0 = d.label_chunk_starts[index]
+        x = d.features[:, f0 : f0 + d.feature_chunk_len, :]
+        sed = d.sed_targets[l0 : l0 + d.label_chunk_len]
+        doa = d.doa_targets[l0 : l0 + d.label_chunk_len]
+        if self.joint_transform is not None:
+            x, sed, doa = self.joint_transform(x, sed, doa)
+        if self.transform is not None:
+            x = self.transform(x)
+        return x, sed, doa, d.clip_names[index]
+
+
+def batch_iterator(
+    dataset: SeldChunkDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    rng: np.random.Generator | None = None,
+    pad_to_batch: bool = False,
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, list[str], int]]:
+    """Yields (x, sed, doa, clip_names, n_real) batches as stacked numpy arrays.
+
+    With pad_to_batch, short tail batches are padded by repeating the last sample so
+    jitted step functions see a single static batch shape; n_real reports the
+    unpadded count.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            if pad_to_batch:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
+        samples = [dataset[int(j)] for j in idx]
+        n_real = min(batch_size, len(order) - i)
+        x = np.stack([s[0] for s in samples])
+        sed = np.stack([s[1] for s in samples])
+        doa = np.stack([s[2] for s in samples])
+        names = [s[3] for s in samples]
+        yield x, sed, doa, names, n_real
