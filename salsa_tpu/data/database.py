@@ -93,7 +93,9 @@ class SplitData:
     label_chunk_starts: np.ndarray
     clip_names: list[str] = field(default_factory=list)  # one per chunk
     feature_chunk_len: int = 0
+    feature_chunk_hop: int = 0
     label_chunk_len: int = 0
+    label_chunk_hop: int = 0
     chunks_per_clip: int = 0      # == natural batch for val/test (one clip per batch)
 
     def __len__(self):
@@ -220,6 +222,8 @@ class SeldDatabase:
             label_chunk_starts=np.asarray(l_starts, dtype=np.int64),
             clip_names=names_per_chunk,
             feature_chunk_len=chunk_len,
+            feature_chunk_hop=chunk_hop,
             label_chunk_len=label_chunk_len,
+            label_chunk_hop=max(1, chunk_hop // self.label_upsample),
             chunks_per_clip=chunks_per_clip,
         )

@@ -1,0 +1,61 @@
+"""SELD training losses (parity with reference models/interfaces.py:273-355).
+
+reg_xyz: loss = w_sed * BCE(event logits) + w_doa * (MAE_x + MAE_y + MAE_z), where
+each axis MAE is masked by SED activity and normalized by the number of active
+(frame, class) cells. accdoa: masked MSE on the DOA vector + a silent-region norm
+penalty (the reference zeroes the sed term when totaling — mirrored here).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross entropy with logits (torch F.binary_cross_entropy_with_logits)."""
+    neg_abs = -jnp.abs(logits)
+    loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(neg_abs))
+    return jnp.mean(loss)
+
+
+def masked_reg_loss(pred, target, mask, loss_type: str = "MAE"):
+    """Masked mean regression loss normalized by the mask mass."""
+    n = min(pred.shape[1], target.shape[1])
+    pred, target, mask = pred[:, :n], target[:, :n], mask[:, :n]
+    denom = jnp.maximum(jnp.sum(mask), 1e-8)
+    if loss_type == "MAE":
+        return jnp.sum(jnp.abs(pred - target) * mask) / denom
+    if loss_type == "MSE":
+        return jnp.sum((pred - target) ** 2 * mask) / denom
+    raise ValueError(f"unknown reg loss '{loss_type}'")
+
+
+def seld_loss(pred: dict, target: dict, n_classes: int, loss_weight=(0.3, 0.7)):
+    """reg_xyz loss. Returns (total, sed_loss, doa_loss)."""
+    sed_l = bce_with_logits(pred["event_frame_logit"], target["event_frame_gt"])
+    doa_pred = pred["doa_frame_output"]
+    doa_gt = target["doa_frame_gt"]
+    mask = target["event_frame_gt"]
+    doa_l = sum(
+        masked_reg_loss(
+            doa_pred[:, :, i * n_classes : (i + 1) * n_classes],
+            doa_gt[:, :, i * n_classes : (i + 1) * n_classes],
+            mask,
+        )
+        for i in range(3)
+    )
+    total = loss_weight[0] * sed_l + loss_weight[1] * doa_l
+    return total, sed_l, doa_l
+
+
+def accdoa_loss(pred: dict, target: dict, n_classes: int):
+    """ACCDOA loss variant (reference interfaces.py:284-302).
+    Returns (total, sed_loss(=0), doa_loss)."""
+    sed_gt = target["event_frame_gt"]
+    n_cells = sed_gt.shape[0] * sed_gt.shape[1]
+    sq = (pred["doa_frame_output"] - target["doa_frame_gt"]) ** 2
+    x = sq[:, :, :n_classes]
+    y = sq[:, :, n_classes : 2 * n_classes]
+    z = sq[:, :, 2 * n_classes :]
+    doa_l = jnp.sum((x + y + z) * sed_gt) / n_cells
+    total = doa_l  # the reference zeroes the sed term before summing
+    return total, jnp.zeros_like(doa_l), doa_l

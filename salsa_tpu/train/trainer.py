@@ -1,0 +1,290 @@
+"""SELD trainer: jitted sharded train/eval steps + the epoch loop with validation
+scoring, submission writing, checkpointing and TensorBoard logging.
+
+This replaces the reference's PyTorch-Lightning runtime (models/seld_models.py,
+experiments/train.py) with a TPU-native design: one jitted train step over a
+`jax.sharding.Mesh` (data-parallel batch, GSPMD gradient psum over ICI), BN stats
+reduced over the global batch inside jit, schedules evaluated on device, and all
+host work (CSV submissions, Hungarian scoring) kept out of the step function.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator
+from salsa_tpu.metrics.scorer import evaluate_submissions
+from salsa_tpu.models.seld import interpolate_index_repeat
+from salsa_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from salsa_tpu.train import checkpoint as ckpt
+from salsa_tpu.train.losses import seld_loss, accdoa_loss
+from salsa_tpu.train.state import TrainState, create_train_state, make_optimizer
+from salsa_tpu.utils.experiments import logger
+
+
+def make_train_step(model, n_classes: int, loss_weight, output_format: str,
+                    interp_ratio: float):
+    def train_step(state: TrainState, x, sed_gt, doa_gt, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            pred = {
+                "event_frame_logit": interpolate_index_repeat(
+                    out["event_frame_logit"], interp_ratio
+                ),
+                "doa_frame_output": interpolate_index_repeat(
+                    out["doa_frame_output"], interp_ratio
+                ),
+            }
+            target = {"event_frame_gt": sed_gt, "doa_frame_gt": doa_gt}
+            if output_format == "reg_xyz":
+                total, sed_l, doa_l = seld_loss(pred, target, n_classes, loss_weight)
+            else:
+                total, sed_l, doa_l = accdoa_loss(pred, target, n_classes)
+            return total, (sed_l, doa_l, updates["batch_stats"])
+
+        (total, (sed_l, doa_l, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        metrics = {"loss": total, "sed_loss": sed_l, "doa_loss": doa_l}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: float):
+    def eval_step(params, batch_stats, x):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        event_logit = interpolate_index_repeat(out["event_frame_logit"], interp_ratio)
+        doa = interpolate_index_repeat(out["doa_frame_output"], interp_ratio)
+        if output_format == "accdoa":
+            xx = doa[..., :n_classes]
+            yy = doa[..., n_classes : 2 * n_classes]
+            zz = doa[..., 2 * n_classes :]
+            event_prob = jnp.sqrt(xx**2 + yy**2 + zz**2)
+        else:
+            event_prob = jax.nn.sigmoid(event_logit)
+        return event_prob, doa
+
+    return jax.jit(eval_step)
+
+
+class SeldTrainer:
+    def __init__(
+        self,
+        model,
+        cfg,
+        train_data,
+        val_data,
+        gt_meta_dir: str | None,
+        submission_dir: str,
+        joint_transform=None,
+        feature_transform=None,
+        mesh=None,
+        seed: int = 2021,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.n_classes = cfg.data.n_classes
+        self.output_format = cfg.data.get("output_format", "reg_xyz")
+        self.label_rate = cfg.data.get("label_rate", 10)
+        if mesh is None:
+            # data-parallel width = largest device count that divides the batch
+            import math
+
+            n_data = math.gcd(cfg.training.train_batch_size, len(jax.devices()))
+            mesh = make_mesh(n_data=n_data)
+        self.mesh = mesh
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.gt_meta_dir = gt_meta_dir
+        self.submission_dir = submission_dir
+        self.eval_version = str(cfg.get("eval_version", "2021"))
+        self.sed_threshold = cfg.get("sed_threshold", 0.3)
+        self.doa_threshold = cfg.get("doa_threshold", 20)
+        self.max_label_frames = int(cfg.data.get("max_file_len_s", 60) * self.label_rate)
+
+        self.train_dataset = SeldChunkDataset(train_data, joint_transform, feature_transform)
+        self.val_data = val_data
+        self.val_dataset = SeldChunkDataset(val_data) if val_data is not None else None
+
+        self.batch_size = cfg.training.train_batch_size
+        self.max_epochs = cfg.training.max_epochs
+        self.steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+        total_steps = self.steps_per_epoch * self.max_epochs
+
+        feature_rate = cfg.data.fs / cfg.data.hop_len
+        enc_ratio = model.time_downsample_ratio
+        self.interp_ratio = enc_ratio * self.label_rate / feature_rate
+
+        tx = make_optimizer(
+            total_steps,
+            cfg.training.get("optimizer", "adam"),
+            tuple(cfg.training.lr_scheduler.milestones),
+            tuple(cfg.training.lr_scheduler.lrs),
+            tuple(cfg.training.lr_scheduler.moms),
+        )
+        sample = train_data
+        sample_x = jnp.zeros(
+            (1, sample.features.shape[0], sample.feature_chunk_len,
+             sample.features.shape[2]),
+            jnp.float32,
+        )
+        self.state = create_train_state(model, sample_x, tx, seed=seed)
+        self.state = self.state.replace(
+            params=replicate(self.mesh, self.state.params),
+            batch_stats=replicate(self.mesh, self.state.batch_stats),
+            opt_state=replicate(self.mesh, self.state.opt_state),
+        )
+
+        loss_weight = tuple(cfg.training.get("loss_weight", (0.3, 0.7)))
+        self._train_step = make_train_step(
+            model, self.n_classes, loss_weight, self.output_format, self.interp_ratio
+        )
+        self._eval_step = make_eval_step(
+            model, self.n_classes, self.output_format, self.interp_ratio
+        )
+        self._dropout_rng = jax.random.PRNGKey(seed)
+
+        self.tb = None
+        tb_dir = cfg.get("dir", {}).get("tb_dir") if hasattr(cfg, "get") else None
+        if tb_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(tb_dir)
+            except Exception:  # pragma: no cover - TB optional
+                self.tb = None
+
+    # ------------------------------------------------------------------
+    def fit(self, resume_from: str | None = None):
+        start_epoch = 0
+        if resume_from:
+            self.state = ckpt.restore_checkpoint(resume_from, self.state)
+            start_epoch = int(self.state.step) // self.steps_per_epoch
+            logger.info("Resumed from %s at step %d (epoch %d)",
+                        resume_from, self.state.step, start_epoch)
+        best_seld = float("inf")
+        ckpt_dir = self.cfg.dir.model.checkpoint
+        best_dir = self.cfg.dir.model.best
+        val_interval = self.cfg.training.get("val_interval", 1)
+        t0 = time.time()
+        for epoch in range(start_epoch, self.max_epochs):
+            metrics = self.train_epoch(epoch)
+            logger.info(
+                "Epoch %d/%d - loss %.4f (sed %.4f, doa %.4f) - %.1fs elapsed",
+                epoch, self.max_epochs - 1, metrics["loss"],
+                metrics["sed_loss"], metrics["doa_loss"], time.time() - t0,
+            )
+            meta: dict[str, Any] = {"epoch": epoch, **metrics}
+            if self.val_dataset is not None and (epoch + 1) % val_interval == 0:
+                scores = self.validate()
+                meta.update({f"val{k}": v for k, v in scores.items()})
+                logger.info(
+                    "Epoch %d - val SELD %.4f - ER %.4f F1 %.4f LE %.2f LR %.4f",
+                    epoch, scores["seld_error"], scores["ER"], scores["F1"],
+                    scores["LE"], scores["LR"],
+                )
+                if self.tb:
+                    for k, v in scores.items():
+                        self.tb.add_scalar(f"val/{k}", v, self.state.step)
+                meta["valSeld"] = scores["seld_error"]
+                if scores["seld_error"] < best_seld:
+                    best_seld = scores["seld_error"]
+                    ckpt.save_checkpoint(best_dir, "best", self.state, meta)
+                    logger.info("New best valSeld %.4f saved", best_seld)
+            ckpt.save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state, meta)
+        return self.state
+
+    def train_epoch(self, epoch: int) -> dict:
+        sums: dict[str, float] = {}
+        count = 0
+        pending = []
+        it = batch_iterator(
+            self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
+            drop_last=len(self.train_dataset) >= self.batch_size,
+        )
+        for x, sed, doa, _names, _n in it:
+            batch = shard_batch(self.mesh, (x, sed, doa))
+            self.state, metrics = self._train_step(
+                self.state, *batch, self._dropout_rng
+            )
+            pending.append(metrics)  # stays on device; fetched once per epoch
+            count += 1
+            if count >= self.steps_per_epoch:
+                break
+        for metrics in jax.device_get(pending):
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        avgs = {k: v / max(count, 1) for k, v in sums.items()}
+        if self.tb:
+            for k, v in avgs.items():
+                self.tb.add_scalar(f"train/{k}", v, int(self.state.step))
+        return avgs
+
+    # ------------------------------------------------------------------
+    def predict_split(self, split_data, submission_dir: str,
+                      combine_method: str = "mean") -> list[str]:
+        """Run inference over a val/test split and write one submission CSV per clip.
+        Returns the list of CSV filenames written."""
+        from salsa_tpu.train.submission import combine_chunks, write_classwise_csv
+
+        os.makedirs(submission_dir, exist_ok=True)
+        ds = SeldChunkDataset(split_data)
+        written = []
+        n_label_frames = self.max_label_frames
+        label_chunk_len = split_data.label_chunk_len
+        label_chunk_hop = split_data.label_chunk_hop
+        bs = split_data.chunks_per_clip
+        for x, _sed, _doa, names, _n in batch_iterator(ds, bs, shuffle=False):
+            event_prob, doa = self._eval_step(
+                self.state.params, self.state.batch_stats, jnp.asarray(x)
+            )
+            event_prob = np.asarray(event_prob)
+            doa = np.asarray(doa)
+            if event_prob.shape[0] == 1:
+                ep, dp = event_prob[0], doa[0]
+            else:
+                ep = combine_chunks(event_prob, label_chunk_len, label_chunk_hop,
+                                    n_label_frames, combine_method)
+                dp = combine_chunks(doa, label_chunk_len, label_chunk_hop,
+                                    n_label_frames, combine_method)
+            fn = names[0] + ".csv"
+            write_classwise_csv(
+                os.path.join(submission_dir, fn), ep, dp, self.n_classes,
+                sed_threshold=self.sed_threshold, max_frames=n_label_frames,
+                version=self.eval_version,
+            )
+            written.append(fn)
+        return written
+
+    def validate(self) -> dict:
+        tmp_dir = os.path.join(self.submission_dir, "_temp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        written = self.predict_split(self.val_data, tmp_dir)
+        return evaluate_submissions(
+            tmp_dir,
+            self.gt_meta_dir,
+            version=self.eval_version,
+            n_classes=self.n_classes,
+            doa_threshold=self.doa_threshold,
+            label_rate=self.label_rate,
+            filenames=written,
+        )
