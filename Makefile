@@ -1,0 +1,41 @@
+# SALSA-TPU launcher — same task surface as the reference Makefile.
+
+FEATURE_CONFIG=./configs/tnsse2021_classic.yml
+FEATURE_TYPE=linspeciv
+SALSA_CONFIG=./configs/tnsse2021_salsa.yml
+SALSA_LITE_CONFIG=./configs/tnsse2021_salsa_lite.yml
+SALSA_LITE_FEATURE_TYPE=salsa_lite
+
+CONFIG=./configs/seld.yml
+OUTPUT=./outputs
+EXP_SUFFIX=_run1
+RESUME=
+
+OUTPUT_DIR=./outputs/crossval/foa/salsa/seld$(EXP_SUFFIX)/outputs/submissions/test
+GT_ROOT_DIR=/data/dcase2021/task3
+
+.PHONY: feature salsa salsa-lite train inference evaluate test bench
+
+feature:
+	python -m salsa_tpu.cli.extract --data-config $(FEATURE_CONFIG) --feature-type $(FEATURE_TYPE)
+
+salsa:
+	python -m salsa_tpu.cli.extract --data-config $(SALSA_CONFIG) --feature-type salsa
+
+salsa-lite:
+	python -m salsa_tpu.cli.extract --data-config $(SALSA_LITE_CONFIG) --feature-type $(SALSA_LITE_FEATURE_TYPE)
+
+train:
+	python -m salsa_tpu.cli.train --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) $(RESUME)
+
+inference:
+	python -m salsa_tpu.cli.infer --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX)
+
+evaluate:
+	python -m salsa_tpu.cli.evaluate --output-dir $(OUTPUT_DIR) --gt-meta-root-dir $(GT_ROOT_DIR)
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py

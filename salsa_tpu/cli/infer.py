@@ -1,0 +1,85 @@
+"""Inference CLI (surface parity with reference experiments/inference.py): restores
+the best (or latest) checkpoint, runs a split through the model, writes submission
+CSVs, and scores them when ground truth exists.
+
+    python -m salsa_tpu.cli.infer --exp-config configs/seld.yml \
+        --exp-group-dir ./outputs --exp-suffix _run1 --splits val test
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from salsa_tpu.cli.train import build_database_from_cfg
+from salsa_tpu.metrics.scorer import evaluate_submissions
+from salsa_tpu.models.seld import build_model
+from salsa_tpu.train import checkpoint as ckpt
+from salsa_tpu.train.trainer import SeldTrainer
+from salsa_tpu.utils.experiments import manage_experiments, logger
+
+
+def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
+              splits=("val", "test"), checkpoint_kind: str = "best"):
+    cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
+    db = build_database_from_cfg(cfg)
+    model = build_model(
+        encoder=cfg.model.encoder.to_dict(),
+        decoder=cfg.model.decoder.to_dict(),
+        n_classes=cfg.data.n_classes,
+        output_format=cfg.data.get("output_format", "reg_xyz"),
+    )
+
+    results = {}
+    split_meta_dir = cfg.get("split_meta_dir")
+    for split in splits:
+        data = db.load_split(split, split_meta_dir=split_meta_dir, stage="inference")
+        trainer = SeldTrainer(
+            model=model, cfg=cfg, train_data=data, val_data=None,
+            gt_meta_dir=None, submission_dir=cfg.dir.output_dir.submission,
+        )
+        if checkpoint_kind == "best":
+            path = ckpt.best_checkpoint(cfg.dir.model.best) or ckpt.latest_checkpoint(
+                cfg.dir.model.checkpoint
+            )
+        else:
+            path = ckpt.latest_checkpoint(cfg.dir.model.checkpoint)
+        if path is None:
+            raise FileNotFoundError("no checkpoint found; train first")
+        trainer.state = ckpt.restore_checkpoint(path, trainer.state)
+        logger.info("[%s] restored %s (meta: %s)", split, path, ckpt.load_metadata(path))
+
+        sub_dir = os.path.join(cfg.dir.output_dir.submission, split)
+        written = trainer.predict_split(data, sub_dir)
+        logger.info("[%s] wrote %d submissions to %s", split, len(written), sub_dir)
+
+        gt_dir = os.path.join(
+            cfg.gt_meta_root_dir,
+            "metadata_eval" if split == "eval" else "metadata_dev",
+        )
+        if os.path.isdir(gt_dir) and split != "eval":
+            scores = evaluate_submissions(
+                sub_dir, gt_dir, version=str(cfg.get("eval_version", "2021")),
+                n_classes=cfg.data.n_classes,
+                doa_threshold=cfg.get("doa_threshold", 20),
+                label_rate=cfg.data.label_rate, filenames=written,
+            )
+            logger.info("[%s] SELD %.4f ER %.4f F1 %.4f LE %.2f LR %.4f", split,
+                        scores["seld_error"], scores["ER"], scores["F1"],
+                        scores["LE"], scores["LR"])
+            results[split] = scores
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp-config", required=True)
+    p.add_argument("--exp-group-dir", default="./outputs")
+    p.add_argument("--exp-suffix", default="")
+    p.add_argument("--splits", nargs="+", default=["val", "test"])
+    p.add_argument("--checkpoint", default="best", choices=["best", "last"])
+    a = p.parse_args()
+    inference(a.exp_config, a.exp_group_dir, a.exp_suffix, a.splits, a.checkpoint)
+
+
+if __name__ == "__main__":
+    main()

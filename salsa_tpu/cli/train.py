@@ -1,0 +1,102 @@
+"""Training CLI (surface parity with reference experiments/train.py):
+
+    python -m salsa_tpu.cli.train --exp-config configs/seld.yml \
+        --exp-group-dir ./outputs --exp-suffix _run1 [--resume]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from salsa_tpu.data.database import SeldDatabase
+from salsa_tpu.data.transforms import build_train_transforms
+from salsa_tpu.models.seld import build_model
+from salsa_tpu.train import checkpoint as ckpt
+from salsa_tpu.train.trainer import SeldTrainer
+from salsa_tpu.utils.experiments import manage_experiments, logger
+
+import numpy as np
+
+
+def build_database_from_cfg(cfg) -> SeldDatabase:
+    scaler_channels = 4 if cfg.feature_type.startswith("salsa") else None
+    return SeldDatabase(
+        feature_root_dir=cfg.feature_root_dir,
+        gt_meta_root_dir=cfg.gt_meta_root_dir,
+        audio_format=cfg.data.audio_format,
+        n_classes=cfg.data.n_classes,
+        fs=cfg.data.fs,
+        hop_len=cfg.data.hop_len,
+        label_rate=cfg.data.label_rate,
+        train_chunk_len_s=cfg.data.train_chunk_len_s,
+        train_chunk_hop_len_s=cfg.data.train_chunk_hop_len_s,
+        test_chunk_len_s=cfg.data.test_chunk_len_s,
+        test_chunk_hop_len_s=cfg.data.test_chunk_hop_len_s,
+        scaler_channels=scaler_channels,
+        max_file_len_s=cfg.data.get("max_file_len_s", 60.0),
+    )
+
+
+def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
+          resume: bool = False, seed: int | None = None):
+    cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=True)
+    seed = seed if seed is not None else cfg.get("seed", 2021)
+
+    db = build_database_from_cfg(cfg)
+    mode = cfg.get("mode", "crossval")
+    train_split = "train" if mode == "crossval" else "dev"
+    val_split = "val" if mode == "crossval" else None
+
+    split_meta_dir = cfg.get("split_meta_dir")
+    train_data = db.load_split(train_split, split_meta_dir=split_meta_dir, stage="fit")
+    val_data = (
+        db.load_split(val_split, split_meta_dir=split_meta_dir, stage="inference")
+        if val_split
+        else None
+    )
+    logger.info("train chunks: %d, val chunks: %s", len(train_data),
+                len(val_data) if val_data is not None else "-")
+
+    joint_t, feat_t = build_train_transforms(
+        cfg.feature_type, cfg.data.audio_format, cfg.data.n_classes,
+        train_data.feature_chunk_len, train_data.features.shape[2],
+        rng=np.random.default_rng(seed),
+    )
+
+    model = build_model(
+        encoder=cfg.model.encoder.to_dict(),
+        decoder=cfg.model.decoder.to_dict(),
+        n_classes=cfg.data.n_classes,
+        output_format=cfg.data.get("output_format", "reg_xyz"),
+    )
+
+    trainer = SeldTrainer(
+        model=model,
+        cfg=cfg,
+        train_data=train_data,
+        val_data=val_data,
+        gt_meta_dir=os.path.join(cfg.gt_meta_root_dir, "metadata_dev"),
+        submission_dir=cfg.dir.output_dir.submission,
+        joint_transform=joint_t,
+        feature_transform=feat_t,
+        seed=seed,
+    )
+
+    resume_path = ckpt.latest_checkpoint(cfg.dir.model.checkpoint) if resume else None
+    trainer.fit(resume_from=resume_path)
+    return trainer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp-config", required=True)
+    p.add_argument("--exp-group-dir", default="./outputs")
+    p.add_argument("--exp-suffix", default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    a = p.parse_args()
+    train(a.exp_config, a.exp_group_dir, a.exp_suffix, a.resume, a.seed)
+
+
+if __name__ == "__main__":
+    main()

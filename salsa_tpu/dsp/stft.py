@@ -44,8 +44,28 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
     return x[..., idx]
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_matrices(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases with the analysis window folded in: (n_fft, n_bins) each.
+    rfft(frame * window) == frame @ cos_mat  +  1j * (frame @ sin_mat)."""
+    window = hann_window(win_length, dtype=np.float64)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.concatenate(
+            [np.zeros(lpad), window, np.zeros(n_fft - win_length - lpad)]
+        )
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    angle = -2.0 * np.pi * t * k / n_fft
+    cos_mat = (np.cos(angle) * window[:, None]).astype(np.float32)
+    sin_mat = (np.sin(angle) * window[:, None]).astype(np.float32)
+    return cos_mat, sin_mat
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "center", "pad_mode")
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "center", "pad_mode", "method"),
 )
 def stft(
     x: jnp.ndarray,
@@ -54,26 +74,38 @@ def stft(
     win_length: int | None = None,
     center: bool = True,
     pad_mode: str = "reflect",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Multichannel STFT.
 
     Args:
         x: (..., n_samples) float signal (any number of leading batch/channel dims).
+        method: 'fft' (jnp.fft.rfft), 'matmul' (windowed-DFT matmul — much faster on
+            TPU for n_fft <= ~1024 because it runs on the MXU instead of XLA's FFT),
+            or 'auto' (matmul for small n_fft).
     Returns:
         Complex spectrogram (..., n_frames, n_fft//2 + 1).
     """
     if win_length is None:
         win_length = n_fft
-    window = jnp.asarray(hann_window(win_length))
-    if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
     frames = frame_signal(x, n_fft, hop_length)
-    frames = frames * window
-    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+    if method == "auto":
+        method = "matmul" if n_fft <= 2048 else "fft"
+    if method == "matmul":
+        cos_mat, sin_mat = _windowed_dft_matrices(n_fft, win_length)
+        real = frames @ jnp.asarray(cos_mat)
+        imag = frames @ jnp.asarray(sin_mat)
+        return jax.lax.complex(real, imag)
+
+    window = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
 
 
 def istft_frames(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:

@@ -130,11 +130,16 @@ def windowed_covariance(Xpad: jnp.ndarray, n_hopframes: int, n_frames: int) -> j
     """
     h = n_hopframes
     win = 2 * h + 1
-    outer = Xpad[..., :, None] * jnp.conj(Xpad[..., None, :])  # (bins, T+2h, C, C)
-    cs = jnp.cumsum(outer, axis=1)
-    zero = jnp.zeros_like(cs[:, :1])
-    cs = jnp.concatenate([zero, cs], axis=1)  # prefix sums, length T+2h+1
-    return (cs[:, win : win + n_frames] - cs[:, 0:n_frames]) / win
+    # Direct 7-tap sliding sum: XLA fuses the shifted outer products so X is re-read
+    # (29 MB for a 60 s clip) instead of materializing/cumsum-ing the (bins,T,C,C)
+    # outer-product tensor (117 MB x several passes) — ~20x less HBM traffic than a
+    # prefix-sum formulation.
+    acc = None
+    for k in range(win):
+        seg = Xpad[:, k : k + n_frames]
+        outer = seg[..., :, None] * jnp.conj(seg[..., None, :])
+        acc = outer if acc is None else acc + outer
+    return acc / win
 
 
 def principal_eigs_eigh(R: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -145,45 +150,71 @@ def principal_eigs_eigh(R: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.n
 
 
 def principal_eigs_power(R: jnp.ndarray, n_iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched power iteration with one deflation for the second eigenvalue.
+    """Batched top-two eigenpairs via power iteration by REPEATED SQUARING.
 
-    R is Hermitian PSD (a covariance), so power iteration on R converges to the top
-    eigenpair; the coherence test only needs lam0/lam1 accuracy near the threshold
-    ratio (default 5x), where convergence is fast. VPU-only: (C,C) matvecs batched
-    over all (bin, frame) pairs, no data-dependent control flow.
+    Instead of n_iters sequential matvecs (each re-reading the whole covariance
+    tensor from HBM), square the trace-normalized matrix ceil(log2(n_iters)) times:
+    P = (R/tr)^(2^s). One matvec with P then equals 2^s classic power iterations.
+    The second eigenpair comes from one P-matvec orthogonalized against the first
+    (convergence (lam2/lam1)^(2^s) — far beyond what the 5x coherence test needs).
+    Eigenvalues are Rayleigh quotients with the ORIGINAL R, so the coherence ratio
+    is exact up to eigenvector residual. Everything is (C,C)-batched VPU math with
+    no data-dependent control flow.
     """
     C = R.shape[-1]
-    # fixed pseudo-random start vector (constant folded); overlap with the principal
-    # eigenvector is nonzero w.p. 1
+    n_sq = int(np.clip(np.ceil(np.log2(max(n_iters, 2))) - 1, 2, 4))
+
+    # All the tiny (C,C) matmuls/matvecs below are written as broadcast
+    # multiply+sum instead of einsum/dot_general: XLA pads batched 4x4 dots onto
+    # 128x128 MXU tiles, exploding memory ~1000x; as VPU elementwise ops they
+    # stream at HBM bandwidth.
+    def matmat(A, B):  # (..., C, C) @ (..., C, C)
+        return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+    def matvec(A, b):  # (..., C, C) @ (..., C)
+        return jnp.sum(A * b[..., None, :], axis=-1)
+
+    def trace(A):
+        return jnp.real(jnp.sum(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1))
+
+    # trace-normalize so powers stay in float32 range: after scaling, lam0 in [1/C, 1]
+    tr = trace(R)[..., None, None].astype(R.dtype)
+    Rn = R / (tr + 1e-30)
+    P = Rn
+    for _ in range(n_sq):
+        P = matmat(P, P)
+        # renormalize by the running trace to avoid underflow of (lam0/tr)^(2^s)
+        ptr = trace(P)[..., None, None].astype(R.dtype)
+        P = P / (ptr + 1e-30)
+
     key = jax.random.PRNGKey(20211021)
-    v0r = jax.random.normal(key, (2, C))
-    start = (v0r[0] + 1j * v0r[1]).astype(R.dtype)
-    v = jnp.broadcast_to(start, R.shape[:-2] + (C,))
+    v0r = jax.random.normal(key, (2, 2, C))
+    s0 = (v0r[0, 0] + 1j * v0r[0, 1]).astype(R.dtype)
+    s1 = (v0r[1, 0] + 1j * v0r[1, 1]).astype(R.dtype)
 
-    def body(v, _):
-        v = jnp.einsum("...ij,...j->...i", R, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
-        return v, None
+    def rayleigh(A, w):
+        return jnp.real(jnp.sum(jnp.conj(w) * matvec(A, w), axis=-1))
 
-    v, _ = lax.scan(body, v, None, length=n_iters)
-    lam0 = jnp.real(jnp.einsum("...i,...ij,...j->...", jnp.conj(v), R, v))
+    v = matvec(P, jnp.broadcast_to(s0, P.shape[:-2] + (C,)))
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
+    # one refinement step with P cleans up start-vector bias
+    v = matvec(P, v)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
+    lam0 = rayleigh(R, v)
 
-    # deflate and power-iterate for the runner-up eigenvalue
-    R1 = R - lam0[..., None, None] * (v[..., :, None] * jnp.conj(v[..., None, :]))
-    key2 = jax.random.PRNGKey(20220314)
-    u0r = jax.random.normal(key2, (2, C))
-    ustart = (u0r[0] + 1j * u0r[1]).astype(R.dtype)
-    u = jnp.broadcast_to(ustart, R.shape[:-2] + (C,))
-
-    def body2(u, _):
-        u = jnp.einsum("...ij,...j->...i", R1, u)
-        # re-orthogonalize against v to fight rounding drift
+    # Runner-up eigenvalue: classic power iterations on the trace-normalized matrix
+    # with per-step re-orthogonalization against v. Squared powers would underflow
+    # the (lam1/lam0)^(2^s) component below float32 rounding and leave u dominated
+    # by projection noise; a few un-squared steps keep the u2 component alive (its
+    # Rayleigh quotient can only UNDER-estimate lam1, which errs on the side the
+    # 5x coherence test already accepts).
+    u = jnp.broadcast_to(s1, v.shape)
+    u = u - jnp.sum(jnp.conj(v) * u, axis=-1, keepdims=True) * v
+    for _ in range(3):
+        u = matvec(Rn, u)
         u = u - jnp.sum(jnp.conj(v) * u, axis=-1, keepdims=True) * v
         u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-30)
-        return u, None
-
-    u, _ = lax.scan(body2, u, None, length=n_iters)
-    lam1 = jnp.real(jnp.einsum("...i,...ij,...j->...", jnp.conj(u), R, u))
+    lam1 = rayleigh(R, u)
     return lam0, lam1, v
 
 
