@@ -14,13 +14,29 @@ import struct
 import numpy as np
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
+def read_wav(path: str, prefer_native: bool = True) -> tuple[np.ndarray, int]:
     """Read a WAV file.
+
+    Uses the C++ decoder (salsa_tpu/native) when available, falling back to the pure
+    Python parser below.
 
     Returns:
         data: float32 array of shape (n_channels, n_samples), in [-1, 1).
         fs: sample rate.
     """
+    if prefer_native:
+        try:
+            from salsa_tpu.native import read_wav_native
+
+            result = read_wav_native(path)
+            if result is not None:
+                return result
+        except Exception:
+            pass
+    return _read_wav_py(path)
+
+
+def _read_wav_py(path: str) -> tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
@@ -76,8 +92,6 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
                 | (raw[:, 1].astype(np.int32) << 8)
                 | (raw[:, 2].astype(np.int32) << 16)
             )
-            x32 = (x32 << 8) >> 8  # arithmetic shift sign-extension via int32 wrap
-            x32 = x32.astype(np.int32)
             x32 = np.where(x32 & 0x800000, x32 - 0x1000000, x32)
             x = x32.astype(np.float32) / 8388608.0
         elif bits == 8:
