@@ -32,16 +32,24 @@ def n_stft_frames(n_samples: int, hop_length: int, n_fft: int, center: bool = Tr
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
     """Slice (..., n_samples) into overlapping frames (..., n_frames, frame_length).
 
-    Implemented as a gather with a static index grid — this compiles to an efficient
-    dynamic-slice fusion on TPU and keeps shapes fully static for XLA.
+    TPU-friendly implementation: reshape the signal into hop-sized rows and
+    concatenate ceil(frame/hop) shifted row views — contiguous slices only, no
+    gather (XLA's TPU gather lowering is ~100x slower than these pure copies).
     """
     n_samples = x.shape[-1]
     n_frames = 1 + (n_samples - frame_length) // hop_length
-    idx = (
-        np.arange(n_frames, dtype=np.int32)[:, None] * hop_length
-        + np.arange(frame_length, dtype=np.int32)[None, :]
-    )
-    return x[..., idx]
+    r = -(-frame_length // hop_length)  # rows of length `hop` spanned by one frame
+    rows_needed = n_frames + r - 1
+    padded_len = rows_needed * hop_length
+    if padded_len > n_samples:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded_len - n_samples)]
+        x = jnp.pad(x, pad)
+    else:
+        x = x[..., :padded_len]
+    rows = x.reshape(x.shape[:-1] + (rows_needed, hop_length))
+    parts = [rows[..., k : k + n_frames, :] for k in range(r)]
+    frames = jnp.concatenate(parts, axis=-1)
+    return frames[..., :frame_length]
 
 
 @functools.lru_cache(maxsize=8)

@@ -48,7 +48,7 @@ class SalsaParams:
     n_hopframes: int = 3
     is_tracking: bool = True
     compress_high_freq: bool = True
-    eig_method: str = "power"  # 'power' | 'eigh'
+    eig_method: str = "power"  # 'power' | 'eigh' | 'pallas'
     power_iters: int = 20
 
     @property
@@ -238,6 +238,18 @@ def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarr
     sig_mask = noise_floor_mask(mag)  # (bins, frames) bool
     if not p.is_tracking:
         sig_mask = jnp.ones_like(sig_mask, dtype=bool)
+
+    if p.eig_method == "pallas":
+        if not p.is_tracking:
+            raise NotImplementedError("pallas path requires is_tracking=True")
+        from salsa_tpu.features.salsa_pallas import salsa_spatial_pallas
+
+        return salsa_spatial_pallas(
+            X, sig_mask, n_hop=h, audio_format=p.audio_format,
+            condition_number=p.condition_number, lower_bin=p.lower_bin,
+            fs=p.fs, n_fft=p.n_fft,
+            interpret=jax.default_backend() == "cpu",  # Mosaic needs real TPU
+        )
 
     R = windowed_covariance(Xpad, h, n_frames)  # (bins, frames, C, C)
     if p.eig_method == "eigh":

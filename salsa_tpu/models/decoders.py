@@ -27,10 +27,14 @@ class SeldDecoder(nn.Module):
     freq_pool: str = "avg"
     head_dropout: float = 0.2
     rnn_dropout: float = 0.3
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T', F', C) encoder output -> dict of framewise outputs at T'."""
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if dtype is not None:
+            x = x.astype(dtype)
         if self.freq_pool == "avg":
             x = jnp.mean(x, axis=2)
         elif self.freq_pool == "max":
@@ -65,14 +69,15 @@ class SeldDecoder(nn.Module):
         def head(h, name):
             h = nn.Dropout(self.head_dropout, deterministic=not train)(h)
             h = nn.relu(nn.Dense(fc_size // 2, kernel_init=xavier_uniform,
-                                 name=f"{name}_fc1")(h))
+                                 dtype=dtype, name=f"{name}_fc1")(h))
             h = nn.Dropout(self.head_dropout, deterministic=not train)(h)
             return nn.Dense(self.n_classes, kernel_init=xavier_uniform,
-                            name=f"{name}_fc2")(h)
+                            dtype=dtype, name=f"{name}_fc2")(h)
 
-        event_logit = head(x, "event")
+        event_logit = head(x, "event").astype(jnp.float32)
         doa = jnp.concatenate(
-            [jnp.tanh(head(x, axis)) for axis in ("x", "y", "z")], axis=-1
+            [jnp.tanh(head(x, axis).astype(jnp.float32)) for axis in ("x", "y", "z")],
+            axis=-1,
         )
         return {"event_frame_logit": event_logit, "doa_frame_output": doa}
 

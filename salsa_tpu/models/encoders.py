@@ -4,6 +4,7 @@
 Input layout: NHWC (B, T, F, C)."""
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from salsa_tpu.models.layers import DoubleConvBlock, ResNetTrunk
@@ -15,13 +16,17 @@ class PannResNet22(nn.Module):
     n_output_channels: int = 512
     time_downsample_ratio: int = 16
     freq_downsample_ratio: int = 8
+    compute_dtype: str | None = None  # e.g. 'bfloat16' for mixed-precision training
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T, F, C) -> (B, T/16, F/8, 512)."""
-        x = DoubleConvBlock(64, pool_type="avg")(x, train)
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if dtype is not None:
+            x = x.astype(dtype)
+        x = DoubleConvBlock(64, pool_type="avg", dtype=dtype)(x, train)
         x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
-        x = ResNetTrunk(layers=(2, 2, 2, 2))(x, train)
+        x = ResNetTrunk(layers=(2, 2, 2, 2), dtype=dtype)(x, train)
         return x
 
 

@@ -14,13 +14,14 @@ Reference quirks preserved because they shape the published results:
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
 xavier_uniform = nn.initializers.glorot_uniform()
+Dtype = Any
 
 
 def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -33,11 +34,14 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 class ConvBnRelu(nn.Module):
     features: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -46,11 +50,12 @@ class DoubleConvBlock(nn.Module):
 
     features: int
     pool_type: str = "avg"  # 'avg' | 'max' | 'avg+max'
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBnRelu(self.features)(x, train)
-        x = ConvBnRelu(self.features)(x, train)
+        x = ConvBnRelu(self.features, dtype=self.dtype)(x, train)
+        x = ConvBnRelu(self.features, dtype=self.dtype)(x, train)
         if self.pool_type == "avg":
             return avg_pool_2x2(x)
         if self.pool_type == "max":
@@ -65,27 +70,31 @@ class ResNetBasicBlock(nn.Module):
     stride: int = 1
     use_shortcut_proj: bool = False
     dropout_rate: float = 0.1
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = avg_pool_2x2(x) if self.stride == 2 else x
-        out = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform)(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(out)
+        out = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                           dtype=self.dtype)(out)
         out = nn.relu(out)
         out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
-        out = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform)(out)
+        out = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform,
+                      dtype=self.dtype)(out)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            scale_init=nn.initializers.zeros,
+            scale_init=nn.initializers.zeros, dtype=self.dtype,
         )(out)
         if self.use_shortcut_proj:
             if self.stride == 2:
                 identity = avg_pool_2x2(identity)
             identity = nn.Conv(self.features, (1, 1), use_bias=False,
-                               kernel_init=xavier_uniform)(identity)
+                               kernel_init=xavier_uniform, dtype=self.dtype)(identity)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5)(identity)
+                                    epsilon=1e-5, dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -95,6 +104,7 @@ class ResNetTrunk(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     widths: Sequence[int] = (64, 128, 256, 512)
     in_features: int = 64
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -107,6 +117,7 @@ class ResNetTrunk(nn.Module):
                     features=width,
                     stride=stride if first else 1,
                     use_shortcut_proj=first and (stride != 1 or in_feats != width),
+                    dtype=self.dtype,
                 )(x, train)
             in_feats = width
         return x

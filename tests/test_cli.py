@@ -1,0 +1,102 @@
+"""Integration test of the CLI surface: extract -> train -> infer on synthetic wavs,
+exercising configs, directory trees, checkpoint selection and scoring end to end."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from salsa_tpu.utils.audio_io import write_wav
+
+
+FS = 8000
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(7)
+    data_dir = tmp / "task3"
+    (data_dir / "mic_dev").mkdir(parents=True)
+    (data_dir / "metadata_dev").mkdir()
+    names = [f"clip{i}" for i in range(4)]
+    n = int(6.4 * FS)
+    t = np.arange(n) / FS
+    for i, name in enumerate(names):
+        w = 0.02 * rng.standard_normal((4, n)) + 0.4 * np.sin(2 * np.pi * (300 + 100 * i) * t)
+        write_wav(str(data_dir / "mic_dev" / f"{name}.wav"), w.astype(np.float32), FS, bits=16)
+        rows = [f"{f},{i % 3},0,{(i * 50) % 180 - 90},10" for f in range(10, 40)]
+        (data_dir / "metadata_dev" / f"{name}.csv").write_text("\n".join(rows))
+
+    meta = tmp / "meta"
+    meta.mkdir()
+    (meta / "train.csv").write_text("filename\n" + "\n".join(names[:3]))
+    (meta / "val.csv").write_text("filename\n" + "\n".join(names[3:]))
+    (meta / "test.csv").write_text("filename\n" + "\n".join(names[3:]))
+
+    data_cfg = {
+        "data_dir": str(data_dir),
+        "feature_dir": str(tmp / "features"),
+        "data": {"format": "mic", "fs": FS, "n_fft": 256, "win_len": 256,
+                 "hop_len": 400, "fmin_doa": 50, "fmax_doa": 2000},
+    }
+    data_cfg_path = tmp / "data.yml"
+    data_cfg_path.write_text(yaml.safe_dump(data_cfg))
+    return tmp, str(data_cfg_path), str(meta), str(data_dir)
+
+
+def test_extract_cli(workspace):
+    tmp, data_cfg, meta, data_dir = workspace
+    from salsa_tpu.cli.extract import extract_features
+
+    feature_dir = extract_features(data_cfg, feature_type="salsa_lite",
+                                   task="feature_scaler")
+    assert os.path.isfile(os.path.join(feature_dir, "mic_feature_scaler.h5"))
+    clips = os.listdir(os.path.join(feature_dir, "mic_dev"))
+    assert len(clips) == 4
+
+
+def test_train_and_infer_cli(workspace):
+    tmp, data_cfg, meta, data_dir = workspace
+    feature_dir = os.path.join(
+        str(tmp / "features"), "salsa_lite", "mic",
+        f"{FS}fs_256nfft_400nhop_2000fmaxdoa",
+    )
+    if not os.path.isdir(feature_dir):
+        from salsa_tpu.cli.extract import extract_features
+        extract_features(data_cfg, feature_type="salsa_lite", task="feature_scaler")
+
+    exp_cfg = {
+        "name": "t", "feature_root_dir": feature_dir, "feature_type": "salsa_lite",
+        "gt_meta_root_dir": data_dir, "split_meta_dir": meta, "seed": 7,
+        "mode": "crossval",
+        "data": {"fs": FS, "n_fft": 256, "hop_len": 400, "audio_format": "mic",
+                 "label_rate": 10, "train_chunk_len_s": 3.2,
+                 "train_chunk_hop_len_s": 1.6, "test_chunk_len_s": 6.4,
+                 "test_chunk_hop_len_s": 6.5, "n_classes": 3,
+                 "output_format": "reg_xyz", "max_file_len_s": 6.4},
+        "model": {
+            "encoder": {"name": "PannResNet22", "n_input_channels": 7},
+            "decoder": {"name": "SeldDecoder", "decoder_type": "gru",
+                        "decoder_size": 16, "freq_pool": "avg"},
+        },
+        "training": {"train_batch_size": 4, "optimizer": "adam",
+                     "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
+                                      "lrs": [1e-3, 1e-3, 1e-3, 3e-4],
+                                      "moms": [0.9, 0.9, 0.9, 0.9]},
+                     "loss_weight": [0.3, 0.7], "max_epochs": 1, "val_interval": 1},
+        "sed_threshold": 0.3, "doa_threshold": 20, "eval_version": "2021",
+    }
+    cfg_path = tmp / "exp.yml"
+    cfg_path.write_text(yaml.safe_dump(exp_cfg))
+
+    from salsa_tpu.cli.train import train
+    trainer = train(str(cfg_path), exp_group_dir=str(tmp / "outputs"), exp_suffix="_x")
+    ckpt_dir = os.path.join(str(tmp / "outputs"), "crossval", "mic", "salsa_lite",
+                            "exp_x", "models", "checkpoint")
+    assert any(f.endswith(".msgpack") for f in os.listdir(ckpt_dir))
+
+    from salsa_tpu.cli.infer import inference
+    results = inference(str(cfg_path), exp_group_dir=str(tmp / "outputs"),
+                        exp_suffix="_x", splits=["test"])
+    assert "test" in results and "seld_error" in results["test"]
