@@ -19,7 +19,8 @@ from salsa_tpu.utils.experiments import manage_experiments, logger
 
 
 def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
-              splits=("val", "test"), checkpoint_kind: str = "best"):
+              splits=("val", "test"), checkpoint_kind: str = "best",
+              use_tta: bool = False):
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
     db = build_database_from_cfg(cfg)
     model = build_model(
@@ -48,8 +49,15 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
         trainer.state = ckpt.restore_checkpoint(path, trainer.state)
         logger.info("[%s] restored %s (meta: %s)", split, path, ckpt.load_metadata(path))
 
+        tta = None
+        if use_tta:
+            from salsa_tpu.train.tta import ChannelSwapTTA
+
+            tta = ChannelSwapTTA(cfg.data.audio_format, cfg.data.n_classes)
+            logger.info("[%s] TTA enabled: %d symmetry variants", split, len(tta))
+
         sub_dir = os.path.join(cfg.dir.output_dir.submission, split)
-        written = trainer.predict_split(data, sub_dir)
+        written = trainer.predict_split(data, sub_dir, tta=tta)
         logger.info("[%s] wrote %d submissions to %s", split, len(written), sub_dir)
 
         gt_dir = os.path.join(
@@ -77,8 +85,11 @@ def main():
     p.add_argument("--exp-suffix", default="")
     p.add_argument("--splits", nargs="+", default=["val", "test"])
     p.add_argument("--checkpoint", default="best", choices=["best", "last"])
+    p.add_argument("--tta", action="store_true",
+                   help="average predictions over channel-swap symmetry variants")
     a = p.parse_args()
-    inference(a.exp_config, a.exp_group_dir, a.exp_suffix, a.splits, a.checkpoint)
+    inference(a.exp_config, a.exp_group_dir, a.exp_suffix, a.splits, a.checkpoint,
+              use_tta=a.tta)
 
 
 if __name__ == "__main__":

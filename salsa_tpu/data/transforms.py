@@ -246,6 +246,28 @@ class JointTransform:
         return out
 
 
+def swap_channel_foa(x, sed, doa, m, n_classes):
+    """Deterministic FOA symmetry with mask m = (swap_xy, neg_x, neg_y, neg_z).
+    Feature layout (7ch): [W, Y, Z, X, IVy, IVz, IVx]."""
+    n = n_classes
+    xf = x.copy()
+    df = doa.copy()
+    if m[0]:  # swap X and Y: spec channels 1<->3, spatial channels -3<->-1
+        xf[1], xf[3] = x[3], x[1]
+        xf[-3], xf[-1] = x[-1], x[-3]
+        df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
+    if m[1]:  # negate x
+        xf[-1] = -xf[-1]
+        df[:, 0:n] = -df[:, 0:n]
+    if m[2]:  # negate y
+        xf[-3] = -xf[-3]
+        df[:, n : 2 * n] = -df[:, n : 2 * n]
+    if m[3]:  # negate z
+        xf[-2] = -xf[-2]
+        df[:, 2 * n :] = -df[:, 2 * n :]
+    return xf, sed, df
+
+
 class SwapChannelFoa(JointTransform):
     """FOA tf-map symmetry: random {swap X<->Y, negate X, negate Y, negate Z}.
 
@@ -256,24 +278,8 @@ class SwapChannelFoa(JointTransform):
 
     def apply(self, x, sed, doa):
         assert x.shape[0] == 7, f"FOA tf-map expects 7 channels, got {x.shape[0]}"
-        n = self.n_classes
         m = self.rng.integers(2, size=4)
-        xf = x.copy()
-        df = doa.copy()
-        if m[0]:  # swap X and Y: spec channels 1<->3, spatial channels -3<->-1
-            xf[1], xf[3] = x[3], x[1]
-            xf[-3], xf[-1] = x[-1], x[-3]
-            df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
-        if m[1]:  # negate x
-            xf[-1] = -xf[-1]
-            df[:, 0:n] = -df[:, 0:n]
-        if m[2]:  # negate y
-            xf[-3] = -xf[-3]
-            df[:, n : 2 * n] = -df[:, n : 2 * n]
-        if m[3]:  # negate z
-            xf[-2] = -xf[-2]
-            df[:, 2 * n :] = -df[:, 2 * n :]
-        return xf, sed, df
+        return swap_channel_foa(x, sed, doa, m, self.n_classes)
 
 
 class SwapChannelMic(JointTransform):
@@ -288,33 +294,38 @@ class SwapChannelMic(JointTransform):
 
     def apply(self, x, sed, doa):
         assert x.shape[0] == 7, f"MIC tf-map expects 7 channels, got {x.shape[0]}"
-        n = self.n_classes
         m = self.rng.integers(2, size=3)
-        xf = x.copy()
-        df = doa.copy()
-        if m[0]:
-            xf[1], xf[2] = x[2], x[1]
-            xf[-3], xf[-2] = x[-2], x[-3]
-            df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
-        if m[1]:
-            cur = xf.copy()
-            xf[0], xf[3] = cur[3], cur[0]
-            xf[-1] = -cur[-1]
-            xf[-2] = cur[-2] - cur[-1]
-            xf[-3] = cur[-3] - cur[-1]
-            tmp = -df[:, 0:n].copy()
-            df[:, 0:n] = -df[:, n : 2 * n]
-            df[:, n : 2 * n] = tmp
-        if m[2]:
-            cur = xf.copy()
-            xf[0], xf[1] = cur[1], cur[0]
-            xf[2], xf[3] = cur[3], cur[2]
-            xf[-3] = -cur[-3]
-            xf[-2] = cur[-1] - cur[-3]
-            xf[-1] = cur[-2] - cur[-3]
-            df[:, n : 2 * n] = -df[:, n : 2 * n]
-            df[:, 2 * n :] = -df[:, 2 * n :]
-        return xf, sed, df
+        return swap_channel_mic(x, sed, doa, m, self.n_classes)
+
+
+def swap_channel_mic(x, sed, doa, m, n_classes):
+    """Deterministic MIC tf-map symmetry, mask m = (swap_m2m3, swap_m1m4, swap_pairs)."""
+    n = n_classes
+    xf = x.copy()
+    df = doa.copy()
+    if m[0]:
+        xf[1], xf[2] = x[2], x[1]
+        xf[-3], xf[-2] = x[-2], x[-3]
+        df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
+    if m[1]:
+        cur = xf.copy()
+        xf[0], xf[3] = cur[3], cur[0]
+        xf[-1] = -cur[-1]
+        xf[-2] = cur[-2] - cur[-1]
+        xf[-3] = cur[-3] - cur[-1]
+        tmp = -df[:, 0:n].copy()
+        df[:, 0:n] = -df[:, n : 2 * n]
+        df[:, n : 2 * n] = tmp
+    if m[2]:
+        cur = xf.copy()
+        xf[0], xf[1] = cur[1], cur[0]
+        xf[2], xf[3] = cur[3], cur[2]
+        xf[-3] = -cur[-3]
+        xf[-2] = cur[-1] - cur[-3]
+        xf[-1] = cur[-2] - cur[-3]
+        df[:, n : 2 * n] = -df[:, n : 2 * n]
+        df[:, 2 * n :] = -df[:, 2 * n :]
+    return xf, sed, df
 
 
 class SwapChannelGccMic(JointTransform):

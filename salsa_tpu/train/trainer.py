@@ -241,9 +241,11 @@ class SeldTrainer:
 
     # ------------------------------------------------------------------
     def predict_split(self, split_data, submission_dir: str,
-                      combine_method: str = "mean") -> list[str]:
+                      combine_method: str = "mean", tta=None) -> list[str]:
         """Run inference over a val/test split and write one submission CSV per clip.
-        Returns the list of CSV filenames written."""
+        With `tta` (a ChannelSwapTTA), predictions are averaged over all spatial
+        symmetry variants with DOA outputs mapped back through the inverse label
+        transform. Returns the list of CSV filenames written."""
         from salsa_tpu.train.submission import combine_chunks, write_classwise_csv
 
         os.makedirs(submission_dir, exist_ok=True)
@@ -254,11 +256,25 @@ class SeldTrainer:
         label_chunk_hop = split_data.label_chunk_hop
         bs = split_data.chunks_per_clip
         for x, _sed, _doa, names, _n in batch_iterator(ds, bs, shuffle=False):
-            event_prob, doa = self._eval_step(
-                self.state.params, self.state.batch_stats, jnp.asarray(x)
-            )
-            event_prob = np.asarray(event_prob)
-            doa = np.asarray(doa)
+            if tta is None:
+                event_prob, doa = self._eval_step(
+                    self.state.params, self.state.batch_stats, jnp.asarray(x)
+                )
+                event_prob = np.asarray(event_prob)
+                doa = np.asarray(doa)
+            else:
+                ev_acc = doa_acc = None
+                for i in range(len(tta)):
+                    xt = tta.transform_features(np.asarray(x), i)
+                    ev, dd = self._eval_step(
+                        self.state.params, self.state.batch_stats, jnp.asarray(xt)
+                    )
+                    ev = np.asarray(ev)
+                    dd = tta.inverse_doa(np.asarray(dd), i)
+                    ev_acc = ev if ev_acc is None else ev_acc + ev
+                    doa_acc = dd if doa_acc is None else doa_acc + dd
+                event_prob = ev_acc / len(tta)
+                doa = doa_acc / len(tta)
             if event_prob.shape[0] == 1:
                 ep, dp = event_prob[0], doa[0]
             else:
