@@ -30,8 +30,9 @@ def main():
     n_samples = int(fs * clip_seconds)
     batch = 4  # clips per device dispatch
 
+    eig_method = "pallas" if jax.default_backend() != "cpu" else "power"
     params = SalsaParams(fs=fs, n_fft=512, hop_length=300, fmax_doa=9000.0,
-                         audio_format="foa", eig_method="power")
+                         audio_format="foa", eig_method=eig_method)
 
     # NOTE on timing: through some PJRT transports block_until_ready is not a
     # reliable fence, so each timed call reduces the full feature tensor to one
@@ -48,7 +49,20 @@ def main():
     waves += 0.3 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
 
     x = jax.device_put(waves)
-    checksum = float(np.asarray(extract_batch_checksum(x)))  # compile + warm up
+    try:
+        checksum = float(np.asarray(extract_batch_checksum(x)))  # compile + warm up
+    except Exception:
+        # fall back to the pure-XLA eigensolver if the Pallas kernel cannot compile
+        # on this backend
+        params = SalsaParams(fs=fs, n_fft=512, hop_length=300, fmax_doa=9000.0,
+                             audio_format="foa", eig_method="power")
+
+        @partial(jax.jit)
+        def extract_batch_checksum(waves):  # noqa: F811
+            feats = jax.vmap(lambda w: extract_salsa(w, params))(waves)
+            return jnp.sum(feats)
+
+        checksum = float(np.asarray(extract_batch_checksum(x)))
     assert np.isfinite(checksum)
 
     n_iters = 5

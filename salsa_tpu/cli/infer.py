@@ -57,7 +57,9 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
             logger.info("[%s] TTA enabled: %d symmetry variants", split, len(tta))
 
         sub_dir = os.path.join(cfg.dir.output_dir.submission, split)
-        written = trainer.predict_split(data, sub_dir, tta=tta)
+        pred_dir = os.path.join(cfg.dir.output_dir.prediction, split)
+        written = trainer.predict_split(data, sub_dir, tta=tta,
+                                        output_pred_dir=pred_dir)
         logger.info("[%s] wrote %d submissions to %s", split, len(written), sub_dir)
 
         gt_dir = os.path.join(

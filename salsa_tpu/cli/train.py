@@ -38,14 +38,23 @@ def build_database_from_cfg(cfg) -> SeldDatabase:
 
 
 def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
-          resume: bool = False, seed: int | None = None):
+          resume: bool = False, seed: int | None = None,
+          overrides: list[str] | None = None):
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=True)
+    if overrides:
+        from salsa_tpu.utils.config import apply_overrides
+
+        apply_overrides(cfg, overrides)
     seed = seed if seed is not None else cfg.get("seed", 2021)
 
     db = build_database_from_cfg(cfg)
     mode = cfg.get("mode", "crossval")
     train_split = "train" if mode == "crossval" else "dev"
     val_split = "val" if mode == "crossval" else None
+    if mode == "eval" and "best_epoch" in cfg.training:
+        # eval mode trains on the full dev set for the epoch count selected during
+        # cross-validation (reference train.py:93-94)
+        cfg.training.max_epochs = cfg.training.best_epoch
 
     split_meta_dir = cfg.get("split_meta_dir")
     train_data = db.load_split(train_split, split_meta_dir=split_meta_dir, stage="fit")
@@ -94,8 +103,10 @@ def main():
     p.add_argument("--exp-suffix", default="")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="dotted config overrides, repeatable")
     a = p.parse_args()
-    train(a.exp_config, a.exp_group_dir, a.exp_suffix, a.resume, a.seed)
+    train(a.exp_config, a.exp_group_dir, a.exp_suffix, a.resume, a.seed, a.overrides)
 
 
 if __name__ == "__main__":

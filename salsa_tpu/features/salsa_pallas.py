@@ -103,27 +103,15 @@ def _trace(H):
     return sum(H[(i, i)].re for i in range(C))
 
 
-def _kernel(xr_hbm, xi_hbm, mask_ref, out_ref, xr_vm, xi_vm, sems, *,
+def _kernel(xr_ref, xi_ref, mask_ref, out_ref, *,
             n_hop: int, audio_format: str, condition_number: float,
             lower_bin: int, delta: float):
     win = 2 * n_hop + 1
     b = pl.program_id(0)
-    t = pl.program_id(1)
 
-    cp_r = pltpu.make_async_copy(
-        xr_hbm.at[:, pl.ds(b * BIN_TILE, BIN_TILE), pl.ds(t * T_TILE, T_TILE + 2 * n_hop)],
-        xr_vm, sems.at[0],
-    )
-    cp_i = pltpu.make_async_copy(
-        xi_hbm.at[:, pl.ds(b * BIN_TILE, BIN_TILE), pl.ds(t * T_TILE, T_TILE + 2 * n_hop)],
-        xi_vm, sems.at[1],
-    )
-    cp_r.start()
-    cp_i.start()
-    cp_r.wait()
-    cp_i.wait()
-
-    x = [_Cplx(xr_vm[c, :, :], xi_vm[c, :, :]) for c in range(C)]
+    # blocks arrive halo'd: (C, 1, BIN_TILE, T_TILE + HALO_PAD) — the host-side
+    # overlap layout keeps every slice 128-aligned for Mosaic
+    x = [_Cplx(xr_ref[c, 0, :, :], xi_ref[c, 0, :, :]) for c in range(C)]
 
     # ---- windowed covariance R[i,j] = mean_k x_i[t+k] conj(x_j[t+k]) ----
     R = {}
@@ -196,7 +184,7 @@ def _kernel(xr_hbm, xi_hbm, mask_ref, out_ref, xr_vm, xi_vm, sems, *,
         feats = [r * nrm for r in comps]
     else:  # mic
         row = jax.lax.broadcasted_iota(jnp.float32, (BIN_TILE, T_TILE), 0)
-        abs_bin = row + (b * BIN_TILE + lower_bin).astype(jnp.float32)
+        abs_bin = row + (b * BIN_TILE + lower_bin).astype(jnp.float32)  # noqa: used below
         inv_bin = 1.0 / (delta * abs_bin)
         feats = []
         for cix in range(1, C):
@@ -228,24 +216,33 @@ def salsa_spatial_pallas(
     """X: (n_bins_band, n_frames, C) complex64 STFT band slice (un-padded).
     sig_mask: (n_bins_band, n_frames) bool from the noise tracker.
     Returns (C-1, n_bins_band, n_frames) float32 features (zeros where invalid)."""
+    from salsa_tpu.dsp.stft import frame_signal
+
     n_bins, n_frames, _ = X.shape
     delta = 2.0 * np.pi * fs / (n_fft * SPEED_OF_SOUND)
+    HALO = 128  # >= 2*n_hop, kept at a full lane tile so every block is aligned
 
-    # wrap-pad time; pad bins/frames to tile multiples. The frame padding feeds the
-    # trailing tile's halo; padded bins/frames are masked out by sig_mask padding.
+    # wrap-pad time; pad bins/frames to tile multiples. Padded regions are masked
+    # out through the sig_mask padding.
     Xpad = jnp.concatenate([X[:, -n_hop:], X, X[:, :n_hop]], axis=1)
     bins_pad = -(-n_bins // BIN_TILE) * BIN_TILE
     t_pad = -(-n_frames // T_TILE) * T_TILE
     Xpad = jnp.pad(
-        Xpad, ((0, bins_pad - n_bins), (0, t_pad - n_frames), (0, 0))
-    )
+        Xpad, ((0, bins_pad - n_bins), (0, t_pad + HALO - (n_frames + 2 * n_hop)), (0, 0))
+    )  # (bins_pad, t_pad + HALO, C)
     mask = jnp.pad(sig_mask.astype(jnp.float32),
                    ((0, bins_pad - n_bins), (0, t_pad - n_frames)))
 
-    xr = jnp.transpose(jnp.real(Xpad), (2, 0, 1))
-    xi = jnp.transpose(jnp.imag(Xpad), (2, 0, 1))
+    # halo'd tiling along time: (C, bins_pad, n_t_blocks, T_TILE + HALO); every tile
+    # carries its own lookahead so all Mosaic slices stay 128-aligned
+    n_t_blocks = t_pad // T_TILE
+    xr = frame_signal(jnp.transpose(jnp.real(Xpad), (2, 0, 1)), T_TILE + HALO, T_TILE)
+    xi = frame_signal(jnp.transpose(jnp.imag(Xpad), (2, 0, 1)), T_TILE + HALO, T_TILE)
+    # -> (C, bins_pad, n_t_blocks, T_TILE + HALO); reorder blocks dim before bins
+    xr = jnp.transpose(xr, (0, 2, 1, 3))
+    xi = jnp.transpose(xi, (0, 2, 1, 3))
 
-    grid = (bins_pad // BIN_TILE, t_pad // T_TILE)
+    grid = (bins_pad // BIN_TILE, n_t_blocks)
     out = pl.pallas_call(
         functools.partial(
             _kernel, n_hop=n_hop, audio_format=audio_format,
@@ -253,19 +250,16 @@ def salsa_spatial_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xr stays in HBM, DMA'd manually
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xi
+            pl.BlockSpec((C, 1, BIN_TILE, T_TILE + HALO), lambda b, t: (0, t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1, BIN_TILE, T_TILE + HALO), lambda b, t: (0, t, b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BIN_TILE, T_TILE), lambda b, t: (b, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C - 1, BIN_TILE, T_TILE), lambda b, t: (0, b, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C - 1, bins_pad, t_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((C, BIN_TILE, T_TILE + 2 * n_hop), jnp.float32),
-            pltpu.VMEM((C, BIN_TILE, T_TILE + 2 * n_hop), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
     )(xr, xi, mask)
     return out[:, :n_bins, :n_frames]

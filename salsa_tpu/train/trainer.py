@@ -188,6 +188,13 @@ class SeldTrainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             metrics = self.train_epoch(epoch)
+            if not np.isfinite(metrics.get("loss", 0.0)):
+                # failure detection: surface divergence immediately instead of
+                # silently training on NaNs (the last finite checkpoint remains on
+                # disk for resume)
+                logger.error("Epoch %d: non-finite loss %s — stopping. Resume from "
+                             "the last checkpoint with a lower LR.", epoch, metrics)
+                raise FloatingPointError(f"training diverged at epoch {epoch}")
             logger.info(
                 "Epoch %d/%d - loss %.4f (sed %.4f, doa %.4f) - %.1fs elapsed",
                 epoch, self.max_epochs - 1, metrics["loss"],
@@ -241,7 +248,8 @@ class SeldTrainer:
 
     # ------------------------------------------------------------------
     def predict_split(self, split_data, submission_dir: str,
-                      combine_method: str = "mean", tta=None) -> list[str]:
+                      combine_method: str = "mean", tta=None,
+                      output_pred_dir: str | None = None) -> list[str]:
         """Run inference over a val/test split and write one submission CSV per clip.
         With `tta` (a ChannelSwapTTA), predictions are averaged over all spatial
         symmetry variants with DOA outputs mapped back through the inverse label
@@ -255,7 +263,9 @@ class SeldTrainer:
         label_chunk_len = split_data.label_chunk_len
         label_chunk_hop = split_data.label_chunk_hop
         bs = split_data.chunks_per_clip
-        for x, _sed, _doa, names, _n in batch_iterator(ds, bs, shuffle=False):
+        if output_pred_dir:
+            os.makedirs(output_pred_dir, exist_ok=True)
+        for x, sed_gt, doa_gt, names, _n in batch_iterator(ds, bs, shuffle=False):
             if tta is None:
                 event_prob, doa = self._eval_step(
                     self.state.params, self.state.batch_stats, jnp.asarray(x)
@@ -289,6 +299,15 @@ class SeldTrainer:
                 version=self.eval_version,
             )
             written.append(fn)
+            if output_pred_dir:
+                # raw prediction dump (parity with reference interfaces.py:182-202)
+                import h5py
+
+                with h5py.File(os.path.join(output_pred_dir, names[0] + ".h5"), "w") as hf:
+                    hf.create_dataset("event_frame_pred", data=ep[None], dtype=np.float32)
+                    hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
+                    hf.create_dataset("event_frame_gt", data=sed_gt, dtype=np.float32)
+                    hf.create_dataset("doa_frame_gt", data=doa_gt, dtype=np.float32)
         return written
 
     def validate(self) -> dict:
