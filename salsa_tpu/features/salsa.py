@@ -100,7 +100,9 @@ def noise_floor_mask(magspec: jnp.ndarray, snr_ratio: float = 1.5) -> jnp.ndarra
         sig = xf > snr_ratio * floor
         return (floor, countdown), sig
 
-    _, mask = lax.scan(step, (floor0, countdown0), magspec.T)
+    # unroll amortizes the per-step scan overhead; the body is tiny (a few (bins,)
+    # vector ops) so 16 steps fuse into one loop iteration nicely
+    _, mask = lax.scan(step, (floor0, countdown0), magspec.T, unroll=16)
     return mask.T  # (n_bins, n_frames)
 
 

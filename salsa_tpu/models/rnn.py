@@ -66,7 +66,7 @@ class GRULayer(nn.Module):
             h = (1.0 - z) * n + z * h
             return h, h
 
-        h0 = jnp.zeros((B, H), dtype=x.dtype)
+        h0 = jnp.zeros((B, H), dtype=xproj.dtype)
         _, ys = lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1))
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
         if self.reverse:
@@ -103,7 +103,7 @@ class LSTMLayer(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        init = (jnp.zeros((B, H), xproj.dtype), jnp.zeros((B, H), xproj.dtype))
         _, ys = lax.scan(step, init, jnp.swapaxes(xproj, 0, 1))
         ys = jnp.swapaxes(ys, 0, 1)
         if self.reverse:
