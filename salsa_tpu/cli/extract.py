@@ -36,7 +36,7 @@ def extract_features(
     n_hopframes: int = 3,
     is_tracking: bool = True,
     is_compress_high_freq: bool = True,
-    eig_method: str = "power",
+    eig_method: str = "auto",
     splits: list[str] | None = None,
 ) -> str:
     """Returns the feature directory written."""
@@ -124,7 +124,8 @@ def main():
     p.add_argument("--n-hopframes", type=int, default=3)
     p.add_argument("--no-tracking", action="store_true")
     p.add_argument("--no-compress-high-freq", action="store_true")
-    p.add_argument("--eig-method", default="power", choices=["power", "eigh"])
+    p.add_argument("--eig-method", default="auto",
+                   choices=["auto", "power", "eigh", "pallas"])
     args = p.parse_args()
     configure_logging()
     extract_features(

@@ -82,11 +82,14 @@ def make_extractor(
     n_hopframes: int = 3,
     is_tracking: bool = True,
     compress_high_freq: bool = True,
-    eig_method: str = "power",
+    eig_method: str = "auto",
     jit: bool = True,
 ) -> FeatureExtractor:
     if win_length is None:
         win_length = n_fft
+    if eig_method == "auto":
+        # fused Pallas kernel on real TPUs, batched XLA power iteration elsewhere
+        eig_method = "power" if jax.default_backend() == "cpu" or not is_tracking else "pallas"
     if fmax is None:
         fmax = fs // 2
     fmax = min(fmax, fs // 2)
