@@ -1,0 +1,101 @@
+"""Coverage for secondary configurations: accdoa output format, transformer decoder,
+seed determinism, mesh/sharding helpers."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from salsa_tpu.models.seld import build_model
+from salsa_tpu.parallel.mesh import make_mesh, shard_batch, param_sharding
+from salsa_tpu.train.losses import accdoa_loss
+from salsa_tpu.train.state import create_train_state, make_optimizer
+from salsa_tpu.train.trainer import make_train_step, make_eval_step
+
+
+def small_model(decoder_type="gru", output_format="reg_xyz"):
+    return build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": decoder_type,
+                 "decoder_size": 16, "freq_pool": "avg"},
+        n_classes=3,
+        output_format=output_format,
+    )
+
+
+def test_transformer_decoder_forward(rng):
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "transformer",
+                 "freq_pool": "avg_max"},
+        n_classes=3,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 7, 64, 32)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["event_frame_logit"].shape == (2, 4, 3)
+    assert out["doa_frame_output"].shape == (2, 4, 9)
+
+
+def test_accdoa_train_step_decreases_doa_loss(rng):
+    model = small_model(output_format="accdoa")
+    B, T, F = 4, 64, 32
+    x = jnp.asarray(rng.standard_normal((B, 7, T, F)), jnp.float32)
+    sed = jnp.asarray((rng.random((B, 8, 3)) < 0.4).astype(np.float32))
+    doa = jnp.asarray(rng.standard_normal((B, 8, 9)) * 0.5, jnp.float32)
+    tx = make_optimizer(total_steps=100, lrs=(1e-3,) * 4)
+    state = create_train_state(model, x, tx, seed=0)
+    step = make_train_step(model, 3, (0.3, 0.7), "accdoa", 2.0)
+    rngk = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, x, sed, doa, rngk)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert float(metrics["sed_loss"]) == 0.0  # accdoa zeroes the sed term
+
+
+def test_accdoa_eval_step_sed_from_norm(rng):
+    model = small_model(output_format="accdoa")
+    x = jnp.asarray(rng.standard_normal((1, 7, 64, 32)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ev_step = make_eval_step(model, 3, "accdoa", 2.0)
+    ev, doa = ev_step(variables["params"], variables["batch_stats"], x)
+    dd = np.asarray(doa)
+    expect = np.sqrt(dd[..., :3] ** 2 + dd[..., 3:6] ** 2 + dd[..., 6:] ** 2)
+    np.testing.assert_allclose(np.asarray(ev), expect, atol=1e-6)
+
+
+def test_init_is_seed_deterministic():
+    model = small_model()
+    x = jnp.zeros((1, 7, 32, 16), jnp.float32)
+    v1 = model.init(jax.random.PRNGKey(42), x, train=False)
+    v2 = model.init(jax.random.PRNGKey(42), x, train=False)
+    v3 = model.init(jax.random.PRNGKey(43), x, train=False)
+    for a, b in zip(jax.tree.leaves(v1["params"]), jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(v1["params"]), jax.tree.leaves(v3["params"]))
+        if np.asarray(a).size > 1
+    ]
+    assert any(diffs)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    batch = (np.zeros((8, 3)), np.zeros((8,)))
+    sharded = shard_batch(mesh, batch)
+    assert sharded[0].sharding.spec == jax.sharding.PartitionSpec("data")
+
+    params = {"big": jnp.zeros((512, 512)), "small": jnp.zeros((4, 4)),
+              "vec": jnp.zeros((512,))}
+    specs = param_sharding(mesh, params)
+    assert specs["big"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert specs["small"].spec == jax.sharding.PartitionSpec()
+    assert specs["vec"].spec == jax.sharding.PartitionSpec()
+
+
+def test_mesh_default_uses_all_devices():
+    mesh = make_mesh()
+    assert dict(mesh.shape)["data"] * dict(mesh.shape)["model"] == len(jax.devices())
