@@ -38,6 +38,7 @@ def extract_features(
     is_compress_high_freq: bool = True,
     eig_method: str = "auto",
     splits: list[str] | None = None,
+    batch_size: int = 8,
 ) -> str:
     """Returns the feature directory written."""
     cfg = load_config(data_config)
@@ -77,6 +78,15 @@ def extract_features(
     if splits is None:
         splits = [f"{audio_format}_dev", f"{audio_format}_eval"]
 
+    # batched device fan-out: clips are stacked and sharded over the mesh's data
+    # axis, so extraction scales clips x chips with one jit graph per clip shape
+    from salsa_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"] * mesh.shape["model"]
+    batch_size = max(batch_size - batch_size % n_dev, n_dev)
+    batched_fn = jax.jit(jax.vmap(extractor.fn))
+
     if task in ("feature_scaler", "feature"):
         for split in splits:
             audio_dir = os.path.join(cfg.data_dir, split)
@@ -87,14 +97,35 @@ def extract_features(
             wavs = sorted(f for f in os.listdir(audio_dir) if f.endswith(".wav"))
             t0 = time.time()
             audio_seconds = 0.0
-            for i, wav in enumerate(wavs):
-                audio, wav_fs = read_wav(os.path.join(audio_dir, wav))
-                assert wav_fs == fs, f"{wav}: fs {wav_fs} != config fs {fs}"
-                audio_seconds += audio.shape[1] / fs
-                feature = np.asarray(jax.block_until_ready(extractor(audio)))
-                store.write_clip(split_kind, wav[:-4], feature)
-                if i % 50 == 0:
-                    logger.info("[%s] %d/%d %s %s", split, i, len(wavs), wav, feature.shape)
+            done = 0
+            for start in range(0, len(wavs), batch_size):
+                group = wavs[start : start + batch_size]
+                audios = []
+                for wav in group:
+                    audio, wav_fs = read_wav(os.path.join(audio_dir, wav))
+                    assert wav_fs == fs, f"{wav}: fs {wav_fs} != config fs {fs}"
+                    audio_seconds += audio.shape[1] / fs
+                    audios.append(audio)
+                n_real = len(audios)
+                lens = {a.shape[1] for a in audios}
+                if len(lens) > 1:
+                    # mixed-length group: extract clip-by-clip (batching must not
+                    # change per-clip frame counts)
+                    for wav, audio in zip(group, audios):
+                        feat = np.asarray(extractor(audio))
+                        store.write_clip(split_kind, wav[:-4], feat)
+                    done += n_real
+                    continue
+                stacked = np.stack(audios)
+                if n_real < batch_size:  # pad tail group to the static batch shape
+                    pad = np.repeat(stacked[-1:], batch_size - n_real, axis=0)
+                    stacked = np.concatenate([stacked, pad], axis=0)
+                feats = np.asarray(batched_fn(shard_batch(mesh, stacked)))
+                for wav, feat in zip(group, feats[:n_real]):
+                    store.write_clip(split_kind, wav[:-4], feat)
+                done += n_real
+                logger.info("[%s] %d/%d (last: %s %s)", split, done, len(wavs),
+                            group[-1], feats.shape[1:])
             dt = time.time() - t0
             if wavs:
                 logger.info(
