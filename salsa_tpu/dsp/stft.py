@@ -121,6 +121,32 @@ def istft_frames(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     return jnp.fft.irfft(spec, n=n_fft, axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _irfft_selected_bases(n_fft: int, out_idx: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag inverse-DFT bases evaluating irfft ONLY at `out_idx` samples:
+    irfft(X, n)[t] = X_re @ C[:, t] + X_im @ S[:, t]."""
+    n_bins = n_fft // 2 + 1
+    t = np.asarray(out_idx, dtype=np.float64)[None, :]
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    angle = 2.0 * np.pi * k * t / n_fft
+    w = np.full((n_bins, 1), 2.0 / n_fft)
+    w[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        w[-1] = 1.0 / n_fft
+    C = (np.cos(angle) * w).astype(np.float32)
+    S = (-np.sin(angle) * w).astype(np.float32)
+    return C, S
+
+
+def irfft_selected(spec: jnp.ndarray, n_fft: int, out_idx: tuple) -> jnp.ndarray:
+    """Inverse rFFT evaluated only at the requested output samples, as two MXU
+    matmuls — much faster than XLA's TPU FFT and skips unneeded lags.
+
+    spec: complex (..., n_fft//2+1). Returns (..., len(out_idx))."""
+    C, S = _irfft_selected_bases(n_fft, tuple(int(i) for i in out_idx))
+    return jnp.real(spec) @ jnp.asarray(C) + jnp.imag(spec) @ jnp.asarray(S)
+
+
 def power_to_db(
     power: jnp.ndarray,
     ref: float = 1.0,

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from salsa_tpu.dsp.stft import stft, power_to_db
+from salsa_tpu.dsp.stft import stft, power_to_db, irfft_selected
 
 
 def multichannel_spectra(wave: jnp.ndarray, n_fft: int, hop_length: int,
@@ -90,5 +90,7 @@ def gcc_phat_all_pairs(
     ref_idx = np.array([n for n in range(n_ch) for m in range(n + 1, n_ch)])
     R = P[sig_idx] * jnp.conj(P[ref_idx])  # (pairs, T, bins)
     phase = jnp.where(jnp.abs(R) > 0, R / jnp.maximum(jnp.abs(R), 1e-30), 1.0 + 0.0j)
-    cc = jnp.fft.irfft(phase, n=big_n_fft, axis=-1)  # (pairs, T, big_n_fft)
-    return jnp.concatenate([cc[..., -(n_out // 2):], cc[..., : n_out // 2]], axis=-1)
+    # center-cropped lags [-n_out/2, n_out/2) evaluated directly via inverse-DFT
+    # matmuls (MXU) instead of a full irfft + crop
+    lags = tuple(range(big_n_fft - n_out // 2, big_n_fft)) + tuple(range(n_out // 2))
+    return irfft_selected(phase, big_n_fft, lags)
