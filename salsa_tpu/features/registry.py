@@ -137,8 +137,10 @@ def make_extractor(
                          with_iv=feature_type == "melspeciv")
             n_channels = 7 if feature_type == "melspeciv" else 4
         desc = f"{fs}fs_{n_fft}nfft_{hop_length}nhop_{n_mels}nmels"
+        # classic features: the reference scaler fits/normalizes ALL channels
+        # (feature_extraction.py:526-594 + database.py:199-202)
         meta = dict(n_channels=n_channels, n_features=n_mels,
-                    n_spec_channels=4 if n_channels > 4 else n_channels, description=desc)
+                    n_spec_channels=n_channels, description=desc)
     elif feature_type in ("linspeciv", "linspecgcc"):
         W = jnp.asarray(high_freq_compression_matrix(n_fft, compress_high_freq))
         n_freqs = W.shape[0]
@@ -151,8 +153,8 @@ def make_extractor(
                          hop_length=hop_length, win_length=win_length, with_iv=True)
             n_channels = 7
         desc = f"{fs}fs_{n_fft}nfft_{hop_length}nhop_{n_freqs}nfreqs"
-        meta = dict(n_channels=n_channels, n_features=n_freqs, n_spec_channels=4,
-                    description=desc)
+        meta = dict(n_channels=n_channels, n_features=n_freqs,
+                    n_spec_channels=n_channels, description=desc)
     else:
         raise ValueError(f"unknown feature type '{feature_type}'")
 
@@ -173,4 +175,8 @@ def feature_n_channels(feature_type: str) -> int:
 
 
 def feature_n_spec_channels(feature_type: str) -> int:
-    return 4
+    """Channels covered by the normalization scaler: SALSA-family scales only the
+    spectrogram channels; classic features scale everything (reference parity)."""
+    if feature_type in ("salsa", "salsa_lite", "salsa_ipd"):
+        return 4
+    return feature_n_channels(feature_type)
