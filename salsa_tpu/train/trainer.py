@@ -148,6 +148,9 @@ class SeldTrainer:
             jnp.float32,
         )
         self.state = create_train_state(model, sample_x, tx, seed=seed)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+        logger.info("model parameters: %.2fM | steps/epoch: %d | interp ratio: %.1f",
+                    n_params / 1e6, self.steps_per_epoch, self.interp_ratio)
         self.state = self.state.replace(
             params=replicate(self.mesh, self.state.params),
             batch_stats=replicate(self.mesh, self.state.batch_stats),

@@ -130,7 +130,7 @@ def test_training_runs_and_validates(synth_experiment):
     assert len([f for f in os.listdir(sub_dir) if f.endswith(".csv")]) == 1
 
 
-def test_fit_saves_checkpoints(synth_experiment):
+def test_fit_saves_checkpoints_and_resumes(synth_experiment):
     s = synth_experiment
     model = build_model(
         encoder={"name": "PannResNet22", "n_input_channels": 7},
@@ -145,3 +145,15 @@ def test_fit_saves_checkpoints(synth_experiment):
     ckpts = os.listdir(s.cfg.dir.model.checkpoint)
     assert any(f.endswith(".msgpack") for f in ckpts)
     assert any(f.endswith(".msgpack") for f in os.listdir(s.cfg.dir.model.best))
+
+    # crash-resume: a fresh trainer restored from the last checkpoint starts at the
+    # saved step and finishes without redoing earlier epochs
+    from salsa_tpu.train import checkpoint as ckpt
+
+    latest = ckpt.latest_checkpoint(s.cfg.dir.model.checkpoint)
+    trainer2 = SeldTrainer(
+        model=model, cfg=s.cfg, train_data=s.train_data, val_data=s.val_data,
+        gt_meta_dir=s.gt_dir, submission_dir=s.cfg.dir.output_dir.submission, seed=2,
+    )
+    final = trainer2.fit(resume_from=latest)
+    assert int(final.step) == int(trainer.state.step)  # nothing left to train
