@@ -50,6 +50,17 @@ def make_optimizer(
     raise ValueError(f"unknown optimizer '{optimizer_name}'")
 
 
+def dropout_rng(seed: int):
+    """Dropout PRNG key. Uses the hardware RBG generator where available: threefry
+    mask generation costs ~40% of a whole CRNN train step on TPU, rbg is ~10x
+    cheaper and dropout needs no counter-based reproducibility guarantees across
+    backends."""
+    try:
+        return jax.random.key(seed, impl="rbg")
+    except Exception:  # pragma: no cover - older jax fallback
+        return jax.random.PRNGKey(seed)
+
+
 def create_train_state(model, sample_input, tx, seed: int = 0) -> TrainState:
     variables = model.init(jax.random.PRNGKey(seed), sample_input, train=False)
     params = variables["params"]

@@ -25,7 +25,12 @@ from salsa_tpu.models.seld import interpolate_index_repeat
 from salsa_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from salsa_tpu.train import checkpoint as ckpt
 from salsa_tpu.train.losses import seld_loss, accdoa_loss
-from salsa_tpu.train.state import TrainState, create_train_state, make_optimizer
+from salsa_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    dropout_rng,
+    make_optimizer,
+)
 from salsa_tpu.utils.experiments import logger
 
 
@@ -164,7 +169,7 @@ class SeldTrainer:
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
-        self._dropout_rng = jax.random.PRNGKey(seed)
+        self._dropout_rng = dropout_rng(seed)
 
         self.tb = None
         tb_dir = cfg.get("dir", {}).get("tb_dir") if hasattr(cfg, "get") else None

@@ -26,7 +26,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from salsa_tpu.models.seld import build_model
-    from salsa_tpu.train.state import create_train_state, make_optimizer
+    from salsa_tpu.train.state import create_train_state, dropout_rng, make_optimizer
     from salsa_tpu.train.trainer import make_train_step
 
     model = build_model(
@@ -44,7 +44,7 @@ def main():
     state = create_train_state(model, x, tx, seed=0)
     step = make_train_step(model, 12, (0.3, 0.7), "reg_xyz", 2.0)
 
-    rng = jax.random.PRNGKey(0)
+    rng = dropout_rng(0)
     state, metrics = step(state, x, sed, doa, rng)  # compile
     _ = float(np.asarray(metrics["loss"]))
 
