@@ -1,0 +1,159 @@
+"""Full-system sanity run on synthetic FOA scenes.
+
+Generates physically consistent first-order-ambisonic clips (SN3D: W=s, Y=s·y,
+Z=s·z, X=s·x for a source at unit DOA (x,y,z)), with class-dependent carriers and
+DCASE-format ground truth; extracts SALSA features on-device; trains the CRNN; and
+reports SELD 2021 scores on a held-out split. A healthy build drives LE to a few
+degrees and F1 near 1 — exercising every layer (dsp, features, data, model, train,
+metrics) with real spatial structure rather than shape checks.
+
+Usage: python scripts/synthetic_sanity.py [--clips 24] [--epochs 20] [--workdir DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from salsa_tpu.utils.audio_io import write_wav  # noqa: E402
+
+FS = 24000
+N_CLASSES = 4
+CLASS_CARRIERS = [330.0, 680.0, 1250.0, 2400.0]
+CLIP_SECONDS = 16.0
+LABEL_RATE = 10
+
+
+def synth_clip(rng, n_events=3):
+    n = int(CLIP_SECONDS * FS)
+    t = np.arange(n) / FS
+    audio = 0.002 * rng.standard_normal((4, n)).astype(np.float32)
+    rows = []
+    n_label_frames = int(CLIP_SECONDS * LABEL_RATE)
+    for _ in range(n_events):
+        cls = int(rng.integers(0, N_CLASSES))
+        azi = float(rng.integers(-180, 180))
+        ele = float(rng.integers(-40, 41))
+        a, e = np.deg2rad(azi), np.deg2rad(ele)
+        x, y, z = np.cos(a) * np.cos(e), np.sin(a) * np.cos(e), np.sin(e)
+        start = float(rng.uniform(0, CLIP_SECONDS - 4.0))
+        dur = float(rng.uniform(2.0, 4.0))
+        sl = slice(int(start * FS), int((start + dur) * FS))
+        f0 = CLASS_CARRIERS[cls]
+        sig = np.zeros(n, dtype=np.float32)
+        tt = t[sl]
+        # harmonic tone + band noise so energy spreads over several STFT bins
+        carrier = (np.sin(2 * np.pi * f0 * tt)
+                   + 0.5 * np.sin(2 * np.pi * 2 * f0 * tt)
+                   + 0.25 * np.sin(2 * np.pi * 3 * f0 * tt))
+        env = np.minimum(1.0, np.minimum((tt - tt[0]) * 8, (tt[-1] - tt) * 8))
+        sig[sl] = 0.25 * carrier * env
+        audio[0] += sig                     # W
+        audio[1] += (y * sig).astype(np.float32)  # Y
+        audio[2] += (z * sig).astype(np.float32)  # Z
+        audio[3] += (x * sig).astype(np.float32)  # X
+        f_lo = int(np.floor(start * LABEL_RATE))
+        f_hi = min(int(np.ceil((start + dur) * LABEL_RATE)), n_label_frames)
+        for f in range(f_lo, f_hi):
+            rows.append(f"{f},{cls},0,{int(azi)},{int(ele)}")
+    return audio, "\n".join(rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--workdir", default="/tmp/salsa_tpu_sanity")
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/salsa_tpu_jit_cache")
+
+    root = args.workdir
+    rng = np.random.default_rng(args.seed)
+    data_dir = os.path.join(root, "task3")
+    os.makedirs(os.path.join(data_dir, "foa_dev"), exist_ok=True)
+    os.makedirs(os.path.join(data_dir, "metadata_dev"), exist_ok=True)
+    meta_dir = os.path.join(root, "meta")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    names = [f"synth{i:03d}" for i in range(args.clips)]
+    t0 = time.time()
+    for name in names:
+        wav_path = os.path.join(data_dir, "foa_dev", name + ".wav")
+        if not os.path.isfile(wav_path):
+            audio, gt = synth_clip(rng)
+            write_wav(wav_path, audio, FS, bits=16)
+            with open(os.path.join(data_dir, "metadata_dev", name + ".csv"), "w") as f:
+                f.write(gt)
+    n_val = max(2, args.clips // 6)
+    with open(os.path.join(meta_dir, "train.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(names[:-n_val]))
+    with open(os.path.join(meta_dir, "val.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(names[-n_val:]))
+    print(f"generated {args.clips} clips in {time.time()-t0:.1f}s")
+
+    # ---- extract SALSA-FOA features on device ----
+    import yaml
+    data_cfg = {
+        "data_dir": data_dir, "feature_dir": os.path.join(root, "features"),
+        "data": {"format": "foa", "fs": FS, "n_fft": 512, "win_len": 512,
+                 "hop_len": 300, "fmin_doa": 50, "fmax_doa": 9000},
+    }
+    cfg_path = os.path.join(root, "data.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(data_cfg, f)
+    from salsa_tpu.cli.extract import extract_features
+    t0 = time.time()
+    feature_dir = extract_features(cfg_path, feature_type="salsa", task="feature_scaler")
+    print(f"extraction: {time.time()-t0:.1f}s")
+
+    # ---- train ----
+    exp_cfg = {
+        "name": "sanity", "feature_root_dir": feature_dir, "feature_type": "salsa",
+        "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir, "seed": args.seed,
+        "mode": "crossval",
+        "data": {"fs": FS, "n_fft": 512, "hop_len": 300, "audio_format": "foa",
+                 "label_rate": LABEL_RATE, "train_chunk_len_s": 8,
+                 "train_chunk_hop_len_s": 1.0, "test_chunk_len_s": CLIP_SECONDS,
+                 "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
+                 "output_format": "reg_xyz", "max_file_len_s": CLIP_SECONDS},
+        "model": {
+            "encoder": {"name": "PannResNet22", "n_input_channels": 7,
+                        "compute_dtype": "bfloat16"},
+            "decoder": {"name": "SeldDecoder", "decoder_type": "bigru",
+                        "decoder_size": 128, "freq_pool": "avg",
+                        "compute_dtype": "bfloat16"},
+        },
+        "training": {"train_batch_size": 16, "optimizer": "adam",
+                     "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
+                                      "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
+                                      "moms": [0.9, 0.9, 0.9, 0.9]},
+                     "loss_weight": [0.3, 0.7], "max_epochs": args.epochs,
+                     "val_interval": max(1, args.epochs // 4)},
+        "sed_threshold": 0.3, "doa_threshold": 20, "eval_version": "2021",
+    }
+    exp_path = os.path.join(root, "exp.yml")
+    with open(exp_path, "w") as f:
+        yaml.safe_dump(exp_cfg, f)
+
+    from salsa_tpu.cli.train import train
+    t0 = time.time()
+    trainer = train(exp_path, exp_group_dir=os.path.join(root, "outputs"),
+                    exp_suffix="_sanity")
+    print(f"training: {time.time()-t0:.1f}s")
+
+    scores = trainer.validate()
+    print(json.dumps({"synthetic_sanity": scores}))
+
+
+if __name__ == "__main__":
+    main()
