@@ -249,6 +249,10 @@ class SeldTrainer:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         avgs = {k: v / max(count, 1) for k, v in sums.items()}
+        hp = getattr(self.state.opt_state, "hyperparams", None)
+        if hp is not None:
+            avgs["lr"] = float(jax.device_get(hp["learning_rate"]))
+            avgs["momentum"] = float(jax.device_get(hp["b1"]))
         if self.tb:
             for k, v in avgs.items():
                 self.tb.add_scalar(f"train/{k}", v, int(self.state.step))
