@@ -35,18 +35,31 @@ from salsa_tpu.utils.experiments import logger
 
 
 def make_train_step(model, n_classes: int, loss_weight, output_format: str,
-                    interp_ratio: float):
+                    interp_ratio: float, remat: bool = False):
+    """remat=True rematerializes the forward activations during backward
+    (jax.checkpoint with matmul outputs saved) — trades ~30% step time for a
+    large-batch/long-chunk memory footprint cut."""
+
+    def apply_model(params, batch_stats, x, rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+
+    if remat:
+        apply_model = jax.checkpoint(
+            apply_model,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+
     def train_step(state: TrainState, x, sed_gt, doa_gt, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                x,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
+            out, updates = apply_model(params, state.batch_stats, x, rng)
             pred = {
                 "event_frame_logit": interpolate_index_repeat(
                     out["event_frame_logit"], interp_ratio
@@ -164,7 +177,8 @@ class SeldTrainer:
 
         loss_weight = tuple(cfg.training.get("loss_weight", (0.3, 0.7)))
         self._train_step = make_train_step(
-            model, self.n_classes, loss_weight, self.output_format, self.interp_ratio
+            model, self.n_classes, loss_weight, self.output_format, self.interp_ratio,
+            remat=cfg.training.get("remat", False),
         )
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
