@@ -1,4 +1,4 @@
-"""Chunk dataset + host batching.
+"""Chunk dataset + host batching + background prefetch.
 
 `SeldChunkDataset` slices fixed-length windows out of the concatenated split arrays
 (reference dataset/dataloader.py:13-62); `batch_iterator` replaces the torch
@@ -8,6 +8,8 @@ can be recombined downstream.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -69,3 +71,31 @@ def batch_iterator(
         doa = np.stack([s[2] for s in samples])
         names = [s[3] for s in samples]
         yield x, sed, doa, names, n_real
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a background thread, keeping up to `depth` batches ready.
+
+    Host-side chunk slicing + augmentation overlaps with device compute (the single
+    dispatch thread is otherwise serialized with the train step). Exceptions from
+    the producer are re-raised at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

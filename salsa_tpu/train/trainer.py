@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator
+from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator, prefetch
 from salsa_tpu.metrics.scorer import evaluate_submissions
 from salsa_tpu.models.seld import interpolate_index_repeat
 from salsa_tpu.parallel.mesh import make_mesh, shard_batch, replicate
@@ -35,10 +35,11 @@ from salsa_tpu.utils.experiments import logger
 
 
 def make_train_step(model, n_classes: int, loss_weight, output_format: str,
-                    interp_ratio: float, remat: bool = False):
+                    interp_ratio: float, remat: bool = False, augment_fn=None):
     """remat=True rematerializes the forward activations during backward
     (jax.checkpoint with matmul outputs saved) — trades ~30% step time for a
-    large-batch/long-chunk memory footprint cut."""
+    large-batch/long-chunk memory footprint cut. augment_fn (from
+    train/device_augment.py) applies data augmentation in-graph."""
 
     def apply_model(params, batch_stats, x, rng):
         return model.apply(
@@ -57,6 +58,9 @@ def make_train_step(model, n_classes: int, loss_weight, output_format: str,
 
     def train_step(state: TrainState, x, sed_gt, doa_gt, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            aug_rng, rng = jax.random.split(rng)
+            x, sed_gt, doa_gt = augment_fn(aug_rng, x, sed_gt, doa_gt)
 
         def loss_fn(params):
             out, updates = apply_model(params, state.batch_stats, x, rng)
@@ -176,9 +180,20 @@ class SeldTrainer:
         )
 
         loss_weight = tuple(cfg.training.get("loss_weight", (0.3, 0.7)))
+        augment_fn = None
+        if cfg.training.get("device_augment", False):
+            from salsa_tpu.train.device_augment import make_device_augment
+
+            augment_fn = make_device_augment(
+                cfg.feature_type, cfg.data.audio_format, self.n_classes,
+                train_data.feature_chunk_len, train_data.features.shape[2],
+            )
+            if joint_transform is not None or feature_transform is not None:
+                logger.warning("device_augment enabled: host transforms are ignored")
+                self.train_dataset = SeldChunkDataset(train_data)
         self._train_step = make_train_step(
             model, self.n_classes, loss_weight, self.output_format, self.interp_ratio,
-            remat=cfg.training.get("remat", False),
+            remat=cfg.training.get("remat", False), augment_fn=augment_fn,
         )
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
@@ -246,10 +261,10 @@ class SeldTrainer:
         sums: dict[str, float] = {}
         count = 0
         pending = []
-        it = batch_iterator(
+        it = prefetch(batch_iterator(
             self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
             drop_last=len(self.train_dataset) >= self.batch_size,
-        )
+        ))
         for x, sed, doa, _names, _n in it:
             batch = shard_batch(self.mesh, (x, sed, doa))
             self.state, metrics = self._train_step(
