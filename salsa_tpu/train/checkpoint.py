@@ -2,9 +2,12 @@
 
 The reference encodes validation metrics in checkpoint FILENAMES and re-parses them
 with a regex at inference time (reference experiments/inference.py:56-62); here every
-checkpoint directory carries a `meta.json` with step/epoch/metrics instead.
-Serialization uses flax msgpack (stable across versions); Orbax can be slotted in
-behind the same interface for async multi-host saving.
+checkpoint carries a `.json` sidecar with step/epoch/metrics instead.
+
+Two backends behind one interface:
+  * 'msgpack' (default): flax serialization, single file, dependency-light;
+  * 'orbax': ocp.StandardCheckpointer directory checkpoints — async-capable and the
+    right choice for multi-host / sharded state.
 """
 from __future__ import annotations
 
@@ -16,36 +19,61 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(ckpt_dir: str, name: str, state, metadata: dict | None = None) -> str:
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, name)
-    payload = {
+def _state_payload(state) -> dict:
+    return {
         "step": int(state.step),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
-    with open(path + ".msgpack", "wb") as f:
-        f.write(serialization.to_bytes(payload))
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state, metadata: dict | None = None,
+                    backend: str = "msgpack") -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, name)
+    payload = _state_payload(state)
+    if backend == "msgpack":
+        out = path + ".msgpack"
+        with open(out, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+    elif backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        out = path + ".orbax"
+        ckptr = ocp.StandardCheckpointer()
+        payload["step"] = np.asarray(payload["step"])  # orbax wants array leaves
+        ckptr.save(os.path.abspath(out), payload, force=True)
+        ckptr.wait_until_finished()
+    else:
+        raise ValueError(f"unknown checkpoint backend '{backend}'")
     meta = dict(metadata or {})
     meta["step"] = int(state.step)
     with open(path + ".json", "w") as f:
         json.dump(_jsonable(meta), f, indent=2)
-    return path + ".msgpack"
+    return out
 
 
 def restore_checkpoint(path: str, state):
-    """Restore a TrainState from `path` (.msgpack). Returns the updated state."""
-    with open(path, "rb") as f:
-        payload = serialization.from_bytes(
-            {
-                "step": 0,
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "opt_state": jax.device_get(state.opt_state),
-            },
-            f.read(),
-        )
+    """Restore a TrainState from a .msgpack file or .orbax directory."""
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+
+        template = _state_payload(state)
+        template["step"] = np.asarray(template["step"])
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(os.path.abspath(path), template)
+    else:
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(
+                {
+                    "step": 0,
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state),
+                },
+                f.read(),
+            )
     return state.replace(
         step=int(payload["step"]),
         params=payload["params"],
@@ -62,10 +90,15 @@ def load_metadata(path: str) -> dict:
     return {}
 
 
+def _candidates(ckpt_dir: str) -> list[str]:
+    return [f for f in os.listdir(ckpt_dir)
+            if f.endswith(".msgpack") or f.endswith(".orbax")]
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = [f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack")]
+    cands = _candidates(ckpt_dir)
     if not cands:
         return None
     def key(fn):
@@ -77,7 +110,7 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
 def best_checkpoint(ckpt_dir: str, metric: str = "valSeld", mode: str = "min") -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = [f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack")]
+    cands = _candidates(ckpt_dir)
     scored = []
     for fn in cands:
         meta = load_metadata(os.path.join(ckpt_dir, fn))

@@ -120,3 +120,23 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     assert ckpt.best_checkpoint(str(tmp_path)) == path
     assert ckpt.load_metadata(path)["valSeld"] == 0.5
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path, rng):
+    from salsa_tpu.models.seld import build_model
+
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 4},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru", "decoder_size": 8},
+        n_classes=2,
+    )
+    tx = make_optimizer(100)
+    x = jnp.zeros((1, 4, 32, 16), jnp.float32)
+    state = create_train_state(model, x, tx, seed=0)
+    path = ckpt.save_checkpoint(str(tmp_path), "ep0", state, {"valSeld": 0.4},
+                                backend="orbax")
+    assert path.endswith(".orbax")
+    restored = ckpt.restore_checkpoint(path, create_train_state(model, x, tx, seed=5))
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.best_checkpoint(str(tmp_path)) == path
