@@ -222,6 +222,7 @@ class SeldTrainer:
         ckpt_dir = self.cfg.dir.model.checkpoint
         best_dir = self.cfg.dir.model.best
         val_interval = self.cfg.training.get("val_interval", 1)
+        backend = self.cfg.training.get("checkpoint_backend", "msgpack")
         t0 = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             metrics = self.train_epoch(epoch)
@@ -252,9 +253,9 @@ class SeldTrainer:
                 meta["valSeld"] = scores["seld_error"]
                 if scores["seld_error"] < best_seld:
                     best_seld = scores["seld_error"]
-                    ckpt.save_checkpoint(best_dir, "best", self.state, meta)
+                    ckpt.save_checkpoint(best_dir, "best", self.state, meta, backend=backend)
                     logger.info("New best valSeld %.4f saved", best_seld)
-            ckpt.save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state, meta)
+            ckpt.save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state, meta, backend=backend)
         return self.state
 
     def train_epoch(self, epoch: int) -> dict:
