@@ -14,10 +14,20 @@ from salsa_tpu.models.decoders import DECODERS, SeldDecoder
 
 
 def interpolate_index_repeat(x: jnp.ndarray, ratio: float) -> jnp.ndarray:
-    """Resample (B, T, ...) along time by gathering floor(out_idx / ratio)."""
+    """Resample (B, T, ...) along time: out[t] = in[floor(t / ratio)].
+
+    Integer up/down ratios lower to repeat/stride (cheap reshape/slice on TPU); the
+    general case falls back to a gather.
+    """
     n_in = x.shape[1]
-    n_out = int(round(n_in * float(ratio)))
-    idx = np.floor(np.arange(n_out) / float(ratio)).astype(np.int32)
+    ratio = float(ratio)
+    n_out = int(round(n_in * ratio))
+    if ratio >= 1 and abs(ratio - round(ratio)) < 1e-9:
+        return jnp.repeat(x, int(round(ratio)), axis=1)
+    inv = 1.0 / ratio
+    if ratio < 1 and abs(inv - round(inv)) < 1e-9:
+        return x[:, :: int(round(inv))]
+    idx = np.floor(np.arange(n_out) / ratio).astype(np.int32)
     return x[:, idx]
 
 
