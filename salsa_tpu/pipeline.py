@@ -8,8 +8,6 @@ kernels and just dumps their output to disk for parity testing / scaler fitting.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ same distributions.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,6 @@ host work (CSV submissions, Hungarian scoring) kept out of the step function.
 """
 from __future__ import annotations
 
-import functools
 import os
 import shutil
 import time
@@ -308,6 +307,10 @@ class SeldTrainer:
         if output_pred_dir:
             os.makedirs(output_pred_dir, exist_ok=True)
         for x, sed_gt, doa_gt, names, _n in batch_iterator(ds, bs, shuffle=False):
+            assert len(set(names)) == 1, (
+                "a val/test batch must contain chunks of exactly one clip "
+                f"(got {set(names)}) — check chunks_per_clip"
+            )
             if tta is None:
                 event_prob, doa = self._eval_step(
                     self.state.params, self.state.batch_stats, jnp.asarray(x)
