@@ -306,11 +306,20 @@ class SeldTrainer:
         bs = split_data.chunks_per_clip
         if output_pred_dir:
             os.makedirs(output_pred_dir, exist_ok=True)
-        for x, sed_gt, doa_gt, names, _n in batch_iterator(ds, bs, shuffle=False):
-            assert len(set(names)) == 1, (
-                "a val/test batch must contain chunks of exactly one clip "
-                f"(got {set(names)}) — check chunks_per_clip"
-            )
+        if bs == 1:
+            # one chunk per clip: pack several clips into each device dispatch
+            bs = min(8, len(ds))
+        else:
+            assert bs == split_data.chunks_per_clip
+        per_batch_clips = bs if split_data.chunks_per_clip == 1 else 1
+        for x, sed_gt, doa_gt, names, n_real in batch_iterator(
+            ds, bs, shuffle=False, pad_to_batch=True
+        ):
+            if per_batch_clips == 1:
+                assert len(set(names)) == 1, (
+                    "a val/test batch must contain chunks of exactly one clip "
+                    f"(got {set(names)}) — check chunks_per_clip"
+                )
             if tta is None:
                 event_prob, doa = self._eval_step(
                     self.state.params, self.state.batch_stats, jnp.asarray(x)
@@ -330,29 +339,37 @@ class SeldTrainer:
                     doa_acc = dd if doa_acc is None else doa_acc + dd
                 event_prob = ev_acc / len(tta)
                 doa = doa_acc / len(tta)
-            if event_prob.shape[0] == 1:
-                ep, dp = event_prob[0], doa[0]
+            if per_batch_clips > 1:
+                clip_preds = [
+                    (names[i], event_prob[i], doa[i], sed_gt[i : i + 1],
+                     doa_gt[i : i + 1])
+                    for i in range(n_real)
+                ]
+            elif event_prob.shape[0] == 1:
+                clip_preds = [(names[0], event_prob[0], doa[0], sed_gt, doa_gt)]
             else:
                 ep = combine_chunks(event_prob, label_chunk_len, label_chunk_hop,
                                     n_label_frames, combine_method)
                 dp = combine_chunks(doa, label_chunk_len, label_chunk_hop,
                                     n_label_frames, combine_method)
-            fn = names[0] + ".csv"
-            write_classwise_csv(
-                os.path.join(submission_dir, fn), ep, dp, self.n_classes,
-                sed_threshold=self.sed_threshold, max_frames=n_label_frames,
-                version=self.eval_version,
-            )
-            written.append(fn)
-            if output_pred_dir:
-                # raw prediction dump (parity with reference interfaces.py:182-202)
-                import h5py
+                clip_preds = [(names[0], ep, dp, sed_gt, doa_gt)]
+            for name, ep, dp, sg, dg in clip_preds:
+                fn = name + ".csv"
+                write_classwise_csv(
+                    os.path.join(submission_dir, fn), ep, dp, self.n_classes,
+                    sed_threshold=self.sed_threshold, max_frames=n_label_frames,
+                    version=self.eval_version,
+                )
+                written.append(fn)
+                if output_pred_dir:
+                    # raw prediction dump (parity with reference interfaces.py:182-202)
+                    import h5py
 
-                with h5py.File(os.path.join(output_pred_dir, names[0] + ".h5"), "w") as hf:
-                    hf.create_dataset("event_frame_pred", data=ep[None], dtype=np.float32)
-                    hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
-                    hf.create_dataset("event_frame_gt", data=sed_gt, dtype=np.float32)
-                    hf.create_dataset("doa_frame_gt", data=doa_gt, dtype=np.float32)
+                    with h5py.File(os.path.join(output_pred_dir, name + ".h5"), "w") as hf:
+                        hf.create_dataset("event_frame_pred", data=ep[None], dtype=np.float32)
+                        hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
+                        hf.create_dataset("event_frame_gt", data=sg, dtype=np.float32)
+                        hf.create_dataset("doa_frame_gt", data=dg, dtype=np.float32)
         return written
 
     def validate(self) -> dict:
