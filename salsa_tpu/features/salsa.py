@@ -241,9 +241,15 @@ def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarr
     if not p.is_tracking:
         sig_mask = jnp.ones_like(sig_mask, dtype=bool)
 
+    if p.eig_method == "pallas" and (not p.is_tracking or n_chans != 4):
+        # the fused kernel is specialized to 4 channels with tracking; everything
+        # else (arbitrary mic counts — the contrib/salsa_flexible capability) uses
+        # the general batched XLA path
+        import dataclasses
+
+        p = dataclasses.replace(p, eig_method="power")
+
     if p.eig_method == "pallas":
-        if not p.is_tracking:
-            raise NotImplementedError("pallas path requires is_tracking=True")
         from salsa_tpu.features.salsa_pallas import salsa_spatial_pallas
 
         return salsa_spatial_pallas(
