@@ -1,0 +1,119 @@
+"""Direct wav -> submission CSV serving CLI: no offline feature store needed.
+
+Runs the fused on-chip pipeline (feature extraction + normalization + CRNN) over a
+directory of multichannel wavs using a trained experiment's best checkpoint and the
+train-split scaler:
+
+    python -m salsa_tpu.cli.predict --exp-config configs/seld.yml \
+        --exp-group-dir ./outputs --exp-suffix _run1 \
+        --wav-dir /data/dcase2021/task3/foa_eval --out-dir ./preds
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from salsa_tpu.data.feature_store import FeatureStore
+from salsa_tpu.features.registry import make_extractor
+from salsa_tpu.models.seld import build_model
+from salsa_tpu.pipeline import SeldInferencePipeline
+from salsa_tpu.train import checkpoint as ckpt
+from salsa_tpu.train.submission import write_classwise_csv
+from salsa_tpu.train.state import create_train_state, make_optimizer
+from salsa_tpu.utils.audio_io import read_wav
+from salsa_tpu.utils.experiments import manage_experiments, logger
+
+
+def predict(exp_config: str, wav_dir: str, out_dir: str,
+            exp_group_dir: str = "./outputs", exp_suffix: str = "",
+            checkpoint_kind: str = "best", batch_size: int = 4):
+    import jax.numpy as jnp
+
+    cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
+    d = cfg.data
+    extractor = make_extractor(
+        cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
+        hop_length=d.hop_len, n_mels=d.get("n_mels", 128),
+        fmax_doa=d.get("fmax_doa", None), jit=False,
+    )
+    model = build_model(
+        encoder=cfg.model.encoder.to_dict(), decoder=cfg.model.decoder.to_dict(),
+        n_classes=d.n_classes, output_format=d.get("output_format", "reg_xyz"),
+    )
+
+    # restore trained variables
+    path = (ckpt.best_checkpoint(cfg.dir.model.best) if checkpoint_kind == "best"
+            else None) or ckpt.latest_checkpoint(cfg.dir.model.checkpoint)
+    if path is None:
+        raise FileNotFoundError("no checkpoint found; train first")
+    wavs = sorted(f for f in os.listdir(wav_dir) if f.endswith(".wav"))
+    if not wavs:
+        raise FileNotFoundError(f"no wavs in {wav_dir}")
+    probe, fs = read_wav(os.path.join(wav_dir, wavs[0]))
+    assert fs == d.fs
+    sample_feat_shape = (
+        extractor.n_channels,
+        1 + probe.shape[1] // d.hop_len,
+        extractor.n_features,
+    )
+    tx = make_optimizer(1)
+    state = create_train_state(
+        model, jnp.zeros((1,) + sample_feat_shape, jnp.float32), tx
+    )
+    state = ckpt.restore_checkpoint(path, state)
+    logger.info("restored %s", path)
+
+    scaler = FeatureStore(cfg.feature_root_dir, d.audio_format).read_scaler()
+    interp_ratio = model.time_downsample_ratio * d.label_rate / (d.fs / d.hop_len)
+    pipe = SeldInferencePipeline(
+        extractor, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        scaler, interp_ratio, d.n_classes, d.get("output_format", "reg_xyz"),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    audio_seconds = 0.0
+    for start in range(0, len(wavs), batch_size):
+        group = wavs[start : start + batch_size]
+        audios = []
+        for w in group:
+            a, _ = read_wav(os.path.join(wav_dir, w))
+            audio_seconds += a.shape[1] / fs
+            audios.append(a)
+        min_len = min(a.shape[1] for a in audios)
+        stacked = np.stack([a[:, :min_len] for a in audios])
+        ev, doa = pipe(stacked)
+        for w, e_row, d_row in zip(group, ev, doa):
+            write_classwise_csv(
+                os.path.join(out_dir, w[:-4] + ".csv"), e_row, d_row, d.n_classes,
+                sed_threshold=cfg.get("sed_threshold", 0.3),
+                max_frames=e_row.shape[0],
+                version=str(cfg.get("eval_version", "2021")),
+            )
+        logger.info("%d/%d predicted", min(start + batch_size, len(wavs)), len(wavs))
+    dt = time.time() - t0
+    logger.info("served %.0f audio-s in %.1f s (%.0fx realtime)", audio_seconds, dt,
+                audio_seconds / max(dt, 1e-9))
+    return out_dir
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp-config", required=True)
+    p.add_argument("--wav-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--exp-group-dir", default="./outputs")
+    p.add_argument("--exp-suffix", default="")
+    p.add_argument("--checkpoint", default="best", choices=["best", "last"])
+    p.add_argument("--batch-size", type=int, default=4)
+    a = p.parse_args()
+    predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
+            a.checkpoint, a.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,18 @@ def test_train_and_infer_cli(workspace):
     results = inference(str(cfg_path), exp_group_dir=str(tmp / "outputs"),
                         exp_suffix="_x", splits=["test"])
     assert "test" in results and "seld_error" in results["test"]
+
+
+def test_predict_cli_direct_from_wavs(workspace):
+    tmp, data_cfg, meta, data_dir = workspace
+    # requires the trained experiment from test_train_and_infer_cli
+    exp_cfg_path = str(tmp / "exp.yml")
+    if not os.path.exists(exp_cfg_path):
+        pytest.skip("train test did not run first")
+    from salsa_tpu.cli.predict import predict
+
+    out = predict(exp_cfg_path, wav_dir=os.path.join(data_dir, "mic_dev"),
+                  out_dir=str(tmp / "direct_preds"),
+                  exp_group_dir=str(tmp / "outputs"), exp_suffix="_x", batch_size=2)
+    csvs = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(csvs) == 4
