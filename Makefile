@@ -31,6 +31,13 @@ train:
 inference:
 	python -m salsa_tpu.cli.infer --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX)
 
+WAV_DIR=/data/dcase2021/task3/foa_eval
+PRED_DIR=./outputs/direct_predictions
+
+.PHONY: predict
+predict:
+	python -m salsa_tpu.cli.predict --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --wav-dir $(WAV_DIR) --out-dir $(PRED_DIR)
+
 evaluate:
 	python -m salsa_tpu.cli.evaluate --output-dir $(OUTPUT_DIR) --gt-meta-root-dir $(GT_ROOT_DIR)
 
