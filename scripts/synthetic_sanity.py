@@ -29,8 +29,28 @@ CLASS_CARRIERS = [330.0, 680.0, 1250.0, 2400.0]
 CLIP_SECONDS = 16.0
 LABEL_RATE = 10
 
+# tetrahedral mic array (Eigenmike-like radius 4.2 cm), matching the channel-swap
+# symmetry conventions used by the MIC augmentations
+MIC_RADIUS = 0.042
+SPEED_OF_SOUND = 343.0
+MIC_DIRS = np.array([
+    [+1, +1, +1],
+    [+1, -1, -1],
+    [-1, +1, -1],
+    [-1, -1, +1],
+]) / np.sqrt(3.0)
 
-def synth_clip(rng, n_events=3):
+
+def fractional_delay(sig: np.ndarray, delay_samples: float) -> np.ndarray:
+    """Apply a (possibly fractional) delay via an FFT phase ramp."""
+    n = len(sig)
+    spec = np.fft.rfft(sig)
+    freqs = np.fft.rfftfreq(n)
+    spec *= np.exp(-2j * np.pi * freqs * delay_samples)
+    return np.fft.irfft(spec, n=n).astype(np.float32)
+
+
+def synth_clip(rng, n_events=3, audio_format="foa"):
     n = int(CLIP_SECONDS * FS)
     t = np.arange(n) / FS
     audio = 0.002 * rng.standard_normal((4, n)).astype(np.float32)
@@ -54,10 +74,16 @@ def synth_clip(rng, n_events=3):
                    + 0.25 * np.sin(2 * np.pi * 3 * f0 * tt))
         env = np.minimum(1.0, np.minimum((tt - tt[0]) * 8, (tt[-1] - tt) * 8))
         sig[sl] = 0.25 * carrier * env
-        audio[0] += sig                     # W
-        audio[1] += (y * sig).astype(np.float32)  # Y
-        audio[2] += (z * sig).astype(np.float32)  # Z
-        audio[3] += (x * sig).astype(np.float32)  # X
+        if audio_format == "foa":
+            audio[0] += sig                     # W
+            audio[1] += (y * sig).astype(np.float32)  # Y
+            audio[2] += (z * sig).astype(np.float32)  # Z
+            audio[3] += (x * sig).astype(np.float32)  # X
+        else:  # mic: per-capsule fractional delays from a plane wave at (x, y, z)
+            doa_vec = np.array([x, y, z])
+            for mic in range(4):
+                delay_s = -MIC_RADIUS / SPEED_OF_SOUND * float(MIC_DIRS[mic] @ doa_vec)
+                audio[mic] += fractional_delay(sig, delay_s * FS)
         f_lo = int(np.floor(start * LABEL_RATE))
         f_hi = min(int(np.ceil((start + dur) * LABEL_RATE)), n_label_frames)
         for f in range(f_lo, f_hi):
@@ -71,7 +97,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--workdir", default="/tmp/salsa_tpu_sanity")
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--format", dest="audio_format", default="foa",
+                    choices=["foa", "mic"])
+    ap.add_argument("--feature-type", default=None,
+                    help="default: salsa for foa, salsa_lite for mic")
     args = ap.parse_args()
+    fmt = args.audio_format
+    feature_type = args.feature_type or ("salsa" if fmt == "foa" else "salsa_lite")
 
     import jax
 
@@ -80,7 +112,7 @@ def main():
     root = args.workdir
     rng = np.random.default_rng(args.seed)
     data_dir = os.path.join(root, "task3")
-    os.makedirs(os.path.join(data_dir, "foa_dev"), exist_ok=True)
+    os.makedirs(os.path.join(data_dir, f"{fmt}_dev"), exist_ok=True)
     os.makedirs(os.path.join(data_dir, "metadata_dev"), exist_ok=True)
     meta_dir = os.path.join(root, "meta")
     os.makedirs(meta_dir, exist_ok=True)
@@ -88,9 +120,9 @@ def main():
     names = [f"synth{i:03d}" for i in range(args.clips)]
     t0 = time.time()
     for name in names:
-        wav_path = os.path.join(data_dir, "foa_dev", name + ".wav")
+        wav_path = os.path.join(data_dir, f"{fmt}_dev", name + ".wav")
         if not os.path.isfile(wav_path):
-            audio, gt = synth_clip(rng)
+            audio, gt = synth_clip(rng, audio_format=fmt)
             write_wav(wav_path, audio, FS, bits=16)
             with open(os.path.join(data_dir, "metadata_dev", name + ".csv"), "w") as f:
                 f.write(gt)
@@ -101,27 +133,31 @@ def main():
         f.write("filename\n" + "\n".join(names[-n_val:]))
     print(f"generated {args.clips} clips in {time.time()-t0:.1f}s")
 
-    # ---- extract SALSA-FOA features on device ----
+    # ---- extract features on device ----
     import yaml
+    fmax_doa = {("foa", "salsa"): 9000, ("mic", "salsa"): 4000}.get(
+        (fmt, feature_type), 2000
+    )
     data_cfg = {
         "data_dir": data_dir, "feature_dir": os.path.join(root, "features"),
-        "data": {"format": "foa", "fs": FS, "n_fft": 512, "win_len": 512,
-                 "hop_len": 300, "fmin_doa": 50, "fmax_doa": 9000},
+        "data": {"format": fmt, "fs": FS, "n_fft": 512, "win_len": 512,
+                 "hop_len": 300, "fmin_doa": 50, "fmax_doa": fmax_doa},
     }
     cfg_path = os.path.join(root, "data.yml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(data_cfg, f)
     from salsa_tpu.cli.extract import extract_features
     t0 = time.time()
-    feature_dir = extract_features(cfg_path, feature_type="salsa", task="feature_scaler")
+    feature_dir = extract_features(cfg_path, feature_type=feature_type,
+                                   task="feature_scaler")
     print(f"extraction: {time.time()-t0:.1f}s")
 
     # ---- train ----
     exp_cfg = {
-        "name": "sanity", "feature_root_dir": feature_dir, "feature_type": "salsa",
+        "name": "sanity", "feature_root_dir": feature_dir, "feature_type": feature_type,
         "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir, "seed": args.seed,
         "mode": "crossval",
-        "data": {"fs": FS, "n_fft": 512, "hop_len": 300, "audio_format": "foa",
+        "data": {"fs": FS, "n_fft": 512, "hop_len": 300, "audio_format": fmt,
                  "label_rate": LABEL_RATE, "train_chunk_len_s": 8,
                  "train_chunk_hop_len_s": 1.0, "test_chunk_len_s": CLIP_SECONDS,
                  "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
