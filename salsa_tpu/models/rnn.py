@@ -67,7 +67,7 @@ class GRULayer(nn.Module):
             return h, h
 
         h0 = jnp.zeros((B, H), dtype=xproj.dtype)
-        _, ys = lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1))
+        _, ys = lax.scan(step, h0, jnp.swapaxes(xproj, 0, 1), unroll=8)
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
@@ -104,7 +104,7 @@ class LSTMLayer(nn.Module):
             return (h, c), h
 
         init = (jnp.zeros((B, H), xproj.dtype), jnp.zeros((B, H), xproj.dtype))
-        _, ys = lax.scan(step, init, jnp.swapaxes(xproj, 0, 1))
+        _, ys = lax.scan(step, init, jnp.swapaxes(xproj, 0, 1), unroll=8)
         ys = jnp.swapaxes(ys, 0, 1)
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
