@@ -148,7 +148,10 @@ class SeldTrainer:
 
         self.batch_size = cfg.training.train_batch_size
         self.max_epochs = cfg.training.max_epochs
-        self.steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+        train_fraction = cfg.data.get("train_fraction", 1.0)
+        self.steps_per_epoch = max(
+            1, int(len(self.train_dataset) // self.batch_size * train_fraction)
+        )
         total_steps = self.steps_per_epoch * self.max_epochs
 
         feature_rate = cfg.data.fs / cfg.data.hop_len
