@@ -101,6 +101,44 @@ class SplitData:
     def __len__(self):
         return len(self.feature_chunk_starts)
 
+    def get_feature_chunk(self, index: int) -> np.ndarray:
+        f0 = self.feature_chunk_starts[index]
+        return self.features[:, f0 : f0 + self.feature_chunk_len, :]
+
+
+@dataclass
+class LazySplitData(SplitData):
+    """Streaming variant: features stay on disk; only the requested chunk window is
+    read (and normalized) per access. Targets and index tables are identical to the
+    preloaded SplitData — `features` holds a placeholder shape tuple instead of data.
+
+    Use for corpora whose feature tensors exceed host RAM (the reference design —
+    and our default — preloads everything, ~16 GB for the full TNSSE dev split).
+    """
+
+    clip_paths: list[str] = field(default_factory=list)      # one per clip (ordered)
+    clip_of_chunk: np.ndarray | None = None                  # chunk -> clip index
+    within_clip_start: np.ndarray | None = None              # chunk -> frame offset
+    normalize_fn: object = None                              # feature -> feature
+    _handles: dict = field(default_factory=dict, repr=False)
+
+    def get_feature_chunk(self, index: int) -> np.ndarray:
+        import h5py
+
+        clip = int(self.clip_of_chunk[index])
+        path = self.clip_paths[clip]
+        hf = self._handles.get(path)
+        if hf is None:
+            if len(self._handles) > 32:  # bound open-handle count
+                for h in self._handles.values():
+                    h.close()
+                self._handles.clear()
+            hf = h5py.File(path, "r")
+            self._handles[path] = hf
+        f0 = int(self.within_clip_start[index])
+        window = hf["feature"][:, f0 : f0 + self.feature_chunk_len, :]
+        return self.normalize_fn(window)
+
 
 class SeldDatabase:
     """Feature + ground-truth database for one (feature_type, audio_format) stream."""
@@ -168,8 +206,13 @@ class SeldDatabase:
         split: str,
         split_meta_dir: str | None = None,
         stage: str = "fit",
+        preload: bool = True,
     ) -> SplitData:
-        """stage 'fit' -> train chunking; 'inference' -> test chunking."""
+        """stage 'fit' -> train chunking; 'inference' -> test chunking.
+
+        preload=True loads all features into RAM (reference behavior, fastest);
+        preload=False keeps features on disk and streams chunk windows on access
+        (LazySplitData) — for corpora larger than host memory."""
         names = split_filenames(split, split_meta_dir)
         split_kind = "eval" if split == "eval" else "dev"
         if stage == "fit":
@@ -182,13 +225,23 @@ class SeldDatabase:
 
         features, seds, doas, names_per_chunk = [], [], [], []
         f_starts, l_starts = [], []
+        clip_of_chunk, within_clip_start, clip_paths = [], [], []
         f_ptr = l_ptr = 0
         chunks_per_clip = 0
-        for name in names:
-            feat = self.normalize(self.store.read_clip(split_kind, name))
-            n_frames = min(feat.shape[1], self.max_label_frames * self.label_upsample)
+        feat_shape = None
+        for clip_idx, name in enumerate(names):
+            if preload:
+                feat = self.normalize(self.store.read_clip(split_kind, name))
+                n_feat_frames = feat.shape[1]
+            else:
+                import h5py
+
+                clip_paths.append(self.store.clip_path(split_kind, name))
+                with h5py.File(clip_paths[-1], "r") as hf:
+                    feat_shape = hf["feature"].shape
+                n_feat_frames = feat_shape[1]
+            n_frames = min(n_feat_frames, self.max_label_frames * self.label_upsample)
             n_frames -= n_frames % self.label_upsample
-            feat = feat[:, :n_frames, :]
             n_label_frames = n_frames // self.label_upsample
 
             gt_path = self.gt_meta_path(split, name)
@@ -203,19 +256,22 @@ class SeldDatabase:
                 n_label_frames, label_chunk_len, chunk_hop // self.label_upsample, l_ptr
             )
             assert len(starts_f) == len(starts_l), "feature/label chunk count mismatch"
+            if not preload:
+                clip_of_chunk.extend([clip_idx] * len(starts_f))
+                within_clip_start.extend(s - f_ptr for s in starts_f)
             f_ptr += n_frames
             l_ptr += n_label_frames
             chunks_per_clip = len(starts_f)
 
-            features.append(feat)
+            if preload:
+                features.append(feat[:, :n_frames, :])
             seds.append(sed)
             doas.append(doa)
             f_starts.extend(starts_f)
             l_starts.extend(starts_l)
             names_per_chunk.extend([name] * len(starts_f))
 
-        return SplitData(
-            features=np.concatenate(features, axis=1),
+        common = dict(
             sed_targets=np.concatenate(seds, axis=0),
             doa_targets=np.concatenate(doas, axis=0),
             feature_chunk_starts=np.asarray(f_starts, dtype=np.int64),
@@ -226,4 +282,14 @@ class SeldDatabase:
             label_chunk_len=label_chunk_len,
             label_chunk_hop=max(1, chunk_hop // self.label_upsample),
             chunks_per_clip=chunks_per_clip,
+        )
+        if preload:
+            return SplitData(features=np.concatenate(features, axis=1), **common)
+        return LazySplitData(
+            features=np.zeros((feat_shape[0], 0, feat_shape[2]), dtype=np.float32),
+            clip_paths=clip_paths,
+            clip_of_chunk=np.asarray(clip_of_chunk, dtype=np.int64),
+            within_clip_start=np.asarray(within_clip_start, dtype=np.int64),
+            normalize_fn=self.normalize,
+            **common,
         )

@@ -28,9 +28,8 @@ class SeldChunkDataset:
 
     def __getitem__(self, index: int):
         d = self.data
-        f0 = d.feature_chunk_starts[index]
         l0 = d.label_chunk_starts[index]
-        x = d.features[:, f0 : f0 + d.feature_chunk_len, :]
+        x = d.get_feature_chunk(index)
         sed = d.sed_targets[l0 : l0 + d.label_chunk_len]
         doa = d.doa_targets[l0 : l0 + d.label_chunk_len]
         if self.joint_transform is not None:

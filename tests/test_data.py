@@ -287,3 +287,24 @@ def test_random_shift_up_down(rng):
             shift = s
             break
     assert shift is not None
+
+
+def test_lazy_split_matches_preloaded(tiny_db):
+    db, meta = tiny_db
+    pre = db.load_split("train", split_meta_dir=meta, stage="fit", preload=True)
+    lazy = db.load_split("train", split_meta_dir=meta, stage="fit", preload=False)
+    assert len(pre) == len(lazy)
+    assert lazy.features.shape[1] == 0  # nothing resident
+    np.testing.assert_array_equal(pre.label_chunk_starts, lazy.label_chunk_starts)
+    for i in [0, 3, len(pre) - 1]:
+        np.testing.assert_allclose(
+            lazy.get_feature_chunk(i), pre.get_feature_chunk(i), atol=1e-6
+        )
+    # dataset API works identically on both
+    ds_pre = SeldChunkDataset(pre)
+    ds_lazy = SeldChunkDataset(lazy)
+    xp, sp, dp, np_ = ds_pre[2]
+    xl, sl, dl, nl = ds_lazy[2]
+    np.testing.assert_allclose(xl, xp, atol=1e-6)
+    np.testing.assert_array_equal(sl, sp)
+    assert np_ == nl
