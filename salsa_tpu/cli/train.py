@@ -57,9 +57,12 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
         cfg.training.max_epochs = cfg.training.best_epoch
 
     split_meta_dir = cfg.get("split_meta_dir")
-    train_data = db.load_split(train_split, split_meta_dir=split_meta_dir, stage="fit")
+    preload = cfg.data.get("preload", True)  # False: stream chunks from disk
+    train_data = db.load_split(train_split, split_meta_dir=split_meta_dir,
+                               stage="fit", preload=preload)
     val_data = (
-        db.load_split(val_split, split_meta_dir=split_meta_dir, stage="inference")
+        db.load_split(val_split, split_meta_dir=split_meta_dir, stage="inference",
+                      preload=preload)
         if val_split
         else None
     )

@@ -78,6 +78,44 @@ def swap_channel_mic_dev(x, doa, m, n_classes):
     return x, doa
 
 
+def swap_channel_gcc_dev(x, doa, m, n_classes):
+    """MIC GCC symmetry (10-channel layout M1..M4, xc12..xc34). Like the host
+    version, at most ONE generator applies (first set flag wins)."""
+    n = n_classes
+
+    def identity(args):
+        return args
+
+    def g0(args):  # swap M2 <-> M3
+        x, doa = args
+        new = jnp.stack([x[0], x[2], x[1], x[3],
+                         x[5], x[4], x[6],
+                         jnp.flip(x[7], axis=-1), x[9], x[8]])
+        doa = jnp.concatenate([doa[:, n : 2 * n], doa[:, :n], doa[:, 2 * n :]], -1)
+        return new, doa
+
+    def g1(args):  # swap M1 <-> M4
+        x, doa = args
+        new = jnp.stack([x[3], x[1], x[2], x[0],
+                         jnp.flip(x[8], axis=-1), jnp.flip(x[9], axis=-1),
+                         jnp.flip(x[6], axis=-1), x[7],
+                         jnp.flip(x[4], axis=-1), jnp.flip(x[5], axis=-1)])
+        doa = jnp.concatenate([-doa[:, n : 2 * n], -doa[:, :n], doa[:, 2 * n :]], -1)
+        return new, doa
+
+    def g2(args):  # swap M1<->M2 and M3<->M4
+        x, doa = args
+        new = jnp.stack([x[1], x[0], x[3], x[2],
+                         jnp.flip(x[4], axis=-1), x[8], x[7], x[6], x[5],
+                         jnp.flip(x[9], axis=-1)])
+        doa = jnp.concatenate([doa[:, :n], -doa[:, n : 2 * n], -doa[:, 2 * n :]], -1)
+        return new, doa
+
+    m = m.astype(bool)
+    idx = jnp.where(m[0], 0, jnp.where(m[1], 1, jnp.where(m[2], 2, 3)))
+    return jax.lax.switch(idx, [g0, g1, g2, identity], (x, doa))
+
+
 # ---------------------------------------------------------------------------
 # feature-only transforms (deterministic cores)
 # ---------------------------------------------------------------------------
@@ -191,8 +229,11 @@ def make_device_augment(feature_type: str, audio_format: str, n_classes: int,
             apply = jax.random.bernoulli(ks[1], 0.5)
             m = m * apply
             x, doa = swap_channel_mic_dev(x, doa, m, n_classes)
-        # (GCC swaps remain host-side: lag-axis flips change channel semantics and
-        # are cheap on host; use data/transforms.py for gcc feature types.)
+        else:  # gcc features
+            m = jax.random.bernoulli(ks[0], 0.5, (3,)).astype(jnp.float32)
+            apply = jax.random.bernoulli(ks[1], 0.5)
+            m = m * apply
+            x, doa = swap_channel_gcc_dev(x, doa, m, n_classes)
 
         # frequency shift (p=0.5)
         shift = jax.random.randint(ks[2], (), 1, 10)

@@ -66,3 +66,42 @@ def test_batched_augment_runs_and_changes_data(rng):
     assert x2.shape == x.shape and doa2.shape == doa.shape
     assert not np.allclose(np.asarray(x2), np.asarray(x))
     assert np.all(np.isfinite(np.asarray(x2)))
+
+
+@pytest.mark.parametrize("m", [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0)])
+def test_gcc_swap_dev_matches_host(rng, m):
+    from salsa_tpu.data.transforms import SwapChannelGccMic
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((10, 5, 6)).astype(np.float32)
+    doa = rng.standard_normal((5, 9)).astype(np.float32)
+    sed = np.zeros((5, 3), np.float32)
+
+    class _R:
+        def __init__(self, m):
+            self._m = np.array(m)
+
+        def integers(self, *a, **k):
+            return self._m
+
+        def random(self):
+            return 0.0
+
+    t = SwapChannelGccMic(always_apply=True, n_classes=3)
+    t.rng = _R(m)
+    hx, _, hd = t.apply(x, sed, doa)
+    dx, dd = da.swap_channel_gcc_dev(jnp.asarray(x), jnp.asarray(doa),
+                                     jnp.asarray(m, jnp.float32), 3)
+    np.testing.assert_allclose(np.asarray(dx), hx, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dd), hd, atol=1e-6)
+
+
+def test_gcc_batched_augment(rng):
+    import jax, jax.numpy as jnp
+
+    fn = da.make_device_augment("linspecgcc", "mic", 3, 40, 30)
+    x = jnp.asarray(rng.standard_normal((2, 10, 40, 30)), jnp.float32)
+    sed = jnp.zeros((2, 5, 3))
+    doa = jnp.asarray(rng.standard_normal((2, 5, 9)), jnp.float32)
+    x2, _, doa2 = jax.jit(fn)(jax.random.PRNGKey(5), x, sed, doa)
+    assert x2.shape == x.shape and np.all(np.isfinite(np.asarray(x2)))
