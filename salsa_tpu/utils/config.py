@@ -77,5 +77,12 @@ def apply_overrides(cfg: AttrDict, overrides: list[str]) -> AttrDict:
             if p not in node:
                 node[p] = AttrDict()
             node = node[p]
-        node[parts[-1]] = yaml.safe_load(raw)
+        value = yaml.safe_load(raw)
+        if isinstance(value, str):
+            # YAML 1.1 only floats '3.0e-4', not '3e-4' — accept plain numerics too
+            try:
+                value = float(value) if any(c in value for c in ".eE") else int(value)
+            except ValueError:
+                pass
+        node[parts[-1]] = value
     return cfg
