@@ -88,6 +88,41 @@ def make_train_step(model, n_classes: int, loss_weight, output_format: str,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_resident_train_step(model, n_classes: int, loss_weight, output_format: str,
+                             interp_ratio: float, chunk_len: int, label_chunk_len: int,
+                             remat: bool = False, augment_fn=None):
+    """Device-resident data variant: the whole split's features/targets live on the
+    chip and each step receives only (start-index) vectors — chunk windows are
+    sliced inside the jit graph.
+
+    Two wins: (a) zero per-step host->device tensor traffic (the host sends ~100
+    bytes of indices), which also sidesteps PJRT transports that pin per-step input
+    buffers; (b) chunk slicing + augmentation run on the VPU. Requires the split's
+    feature tensor to fit in HBM next to the model (bf16 storage supported).
+    """
+    base_step = make_train_step(model, n_classes, loss_weight, output_format,
+                                interp_ratio, remat=remat, augment_fn=augment_fn)
+
+    def gather_windows(arr, starts, length):
+        # arr: (C, T, F) or (T, D); starts: (B,)
+        if arr.ndim == 3:
+            slice_fn = lambda s: jax.lax.dynamic_slice(
+                arr, (0, s, 0), (arr.shape[0], length, arr.shape[2]))
+        else:
+            slice_fn = lambda s: jax.lax.dynamic_slice(
+                arr, (s, 0), (length, arr.shape[1]))
+        return jax.vmap(slice_fn)(starts)
+
+    def resident_step(state, features, sed_targets, doa_targets,
+                      f_starts, l_starts, rng):
+        x = gather_windows(features, f_starts, chunk_len).astype(jnp.float32)
+        sed = gather_windows(sed_targets, l_starts, label_chunk_len)
+        doa = gather_windows(doa_targets, l_starts, label_chunk_len)
+        return base_step.__wrapped__(state, x, sed, doa, rng)
+
+    return jax.jit(resident_step, donate_argnums=(0,))
+
+
 def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: float):
     def eval_step(params, batch_stats, x):
         out = model.apply(
@@ -197,6 +232,32 @@ class SeldTrainer:
             model, self.n_classes, loss_weight, self.output_format, self.interp_ratio,
             remat=cfg.training.get("remat", False), augment_fn=augment_fn,
         )
+        self.device_data = cfg.training.get("device_data", False)
+        if self.device_data:
+            # whole split resident on device; host sends only chunk indices
+            assert train_data.features.shape[1] > 0, (
+                "device_data requires a preloaded split (preload=True)"
+            )
+            if augment_fn is None and (joint_transform or feature_transform):
+                logger.warning("device_data: host transforms are bypassed — enable "
+                               "training.device_augment for augmentation")
+            store_dtype = (
+                jnp.bfloat16
+                if cfg.training.get("device_data_dtype", "float32") == "bfloat16"
+                else jnp.float32
+            )
+            self._dev_features = jax.device_put(
+                jnp.asarray(train_data.features, dtype=store_dtype))
+            self._dev_sed = jax.device_put(jnp.asarray(train_data.sed_targets))
+            self._dev_doa = jax.device_put(jnp.asarray(train_data.doa_targets))
+            self._train_step_resident = make_resident_train_step(
+                model, self.n_classes, loss_weight, self.output_format,
+                self.interp_ratio, train_data.feature_chunk_len,
+                train_data.label_chunk_len,
+                remat=cfg.training.get("remat", False), augment_fn=augment_fn,
+            )
+            self._f_starts = np.asarray(train_data.feature_chunk_starts)
+            self._l_starts = np.asarray(train_data.label_chunk_starts)
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
@@ -264,6 +325,22 @@ class SeldTrainer:
         sums: dict[str, float] = {}
         count = 0
         pending = []
+        if self.device_data:
+            order = np.arange(len(self._f_starts))
+            self.rng.shuffle(order)
+            for i in range(0, self.steps_per_epoch * self.batch_size, self.batch_size):
+                idx = order[i : i + self.batch_size]
+                if len(idx) < self.batch_size:
+                    break
+                self.state, metrics = self._train_step_resident(
+                    self.state, self._dev_features, self._dev_sed, self._dev_doa,
+                    jnp.asarray(self._f_starts[idx], jnp.int32),
+                    jnp.asarray(self._l_starts[idx], jnp.int32),
+                    self._dropout_rng,
+                )
+                pending.append(metrics)
+                count += 1
+            return self._finish_epoch(pending, count)
         it = prefetch(batch_iterator(
             self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
             drop_last=len(self.train_dataset) >= self.batch_size,
@@ -277,6 +354,10 @@ class SeldTrainer:
             count += 1
             if count >= self.steps_per_epoch:
                 break
+        return self._finish_epoch(pending, count)
+
+    def _finish_epoch(self, pending, count) -> dict:
+        sums: dict[str, float] = {}
         for metrics in jax.device_get(pending):
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)

@@ -170,6 +170,7 @@ def main():
                         "compute_dtype": "bfloat16"},
         },
         "training": {"train_batch_size": 16, "optimizer": "adam",
+                     "device_data": True, "device_augment": True,
                      "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
                                       "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
                                       "moms": [0.9, 0.9, 0.9, 0.9]},

@@ -99,3 +99,41 @@ def test_mesh_helpers():
 def test_mesh_default_uses_all_devices():
     mesh = make_mesh()
     assert dict(mesh.shape)["data"] * dict(mesh.shape)["model"] == len(jax.devices())
+
+
+def test_device_resident_training(rng):
+    """device_data mode trains from on-device features given only index vectors."""
+    from salsa_tpu.train.trainer import SeldTrainer
+    from salsa_tpu.data.database import SplitData
+    from salsa_tpu.utils.config import AttrDict
+
+    # feature rate 20 fps (fs 8000 / hop 400), label rate 10 -> upsample 2;
+    # chunk 64 frames -> encoder T'=4 -> x8 interp = 32 label frames
+    n_chunks, chunk, label_chunk = 12, 64, 32
+    features = rng.standard_normal((7, 64 * 14, 32)).astype(np.float32)
+    sed = (rng.random((32 * 14, 3)) < 0.3).astype(np.float32)
+    doa = rng.standard_normal((32 * 14, 9)).astype(np.float32) * 0.5
+    data = SplitData(
+        features=features, sed_targets=sed, doa_targets=doa,
+        feature_chunk_starts=np.arange(n_chunks) * 64,
+        label_chunk_starts=np.arange(n_chunks) * 32,
+        clip_names=["c"] * n_chunks, feature_chunk_len=chunk,
+        feature_chunk_hop=chunk, label_chunk_len=label_chunk,
+        label_chunk_hop=label_chunk, chunks_per_clip=n_chunks,
+    )
+    cfg = AttrDict({
+        "data": {"fs": 8000, "hop_len": 400, "n_classes": 3, "label_rate": 10,
+                 "output_format": "reg_xyz"},
+        "training": {"train_batch_size": 4, "max_epochs": 2, "device_data": True,
+                     "device_data_dtype": "bfloat16",
+                     "lr_scheduler": {"milestones": [0, 1], "lrs": [1e-3, 1e-3],
+                                      "moms": [0.9, 0.9]}},
+    })
+    trainer = SeldTrainer(
+        model=small_model(), cfg=cfg, train_data=data, val_data=None,
+        gt_meta_dir=None, submission_dir="/tmp/x", seed=0,
+    )
+    m0 = trainer.train_epoch(0)
+    for _ in range(3):
+        m1 = trainer.train_epoch(0)
+    assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
