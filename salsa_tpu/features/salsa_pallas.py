@@ -103,6 +103,29 @@ def _trace(H):
     return sum(H[(i, i)].re for i in range(C))
 
 
+def _atan2(y, x):
+    """Vector atan2 via range reduction + odd minimax polynomial (Mosaic has no
+    atan/atan2 primitive). Max error ~1e-5 rad — far below the MIC feature's
+    quantization after the 1/(delta*bin) normalization."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    z = t * t
+    # minimax coefficients for atan(t), t in [0, 1]
+    p = -0.0117212
+    p = p * z + 0.05265332
+    p = p * z - 0.11643287
+    p = p * z + 0.19354346
+    p = p * z - 0.33262347
+    p = p * z + 0.99997726
+    a = t * p
+    a = jnp.where(ay > ax, np.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, np.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _kernel(xr_ref, xi_ref, mask_ref, out_ref, *,
             n_hop: int, audio_format: str, condition_number: float,
             lower_bin: int, delta: float):
@@ -183,14 +206,14 @@ def _kernel(xr_ref, xi_ref, mask_ref, out_ref, *,
         nrm = jax.lax.rsqrt(sum(r * r for r in comps) + 1e-30)
         feats = [r * nrm for r in comps]
     else:  # mic
-        row = jax.lax.broadcasted_iota(jnp.float32, (BIN_TILE, T_TILE), 0)
-        abs_bin = row + (b * BIN_TILE + lower_bin).astype(jnp.float32)  # noqa: used below
+        row = jax.lax.broadcasted_iota(jnp.int32, (BIN_TILE, T_TILE), 0).astype(jnp.float32)
+        abs_bin = row + (b * BIN_TILE + lower_bin).astype(jnp.float32)
         inv_bin = 1.0 / (delta * abs_bin)
         feats = []
         for cix in range(1, C):
             pr = v[cix].re * v[0].re + v[cix].im * v[0].im
             pi = v[cix].im * v[0].re - v[cix].re * v[0].im
-            feats.append(jnp.arctan2(pi, pr) * inv_bin)
+            feats.append(_atan2(pi, pr) * inv_bin)
 
     zero = jnp.zeros((BIN_TILE, T_TILE), jnp.float32)
     for cix in range(C - 1):
