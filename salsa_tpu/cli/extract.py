@@ -39,6 +39,7 @@ def extract_features(
     eig_method: str = "auto",
     splits: list[str] | None = None,
     batch_size: int = 8,
+    keep_existing: bool = False,
 ) -> str:
     """Returns the feature directory written."""
     cfg = load_config(data_config)
@@ -94,7 +95,18 @@ def extract_features(
                 logger.warning("skip split %s: %s not found", split, audio_dir)
                 continue
             split_kind = "eval" if split.endswith("eval") else "dev"
+            out_dir = store.split_dir(split_kind)
+            if not keep_existing:
+                # reference semantics: the split's feature folder is emptied first
+                # (salsa_feature_extraction.py:344)
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
             wavs = sorted(f for f in os.listdir(audio_dir) if f.endswith(".wav"))
+            if keep_existing:
+                wavs = [w for w in wavs
+                        if not os.path.isfile(store.clip_path(split_kind, w[:-4]))]
+                logger.info("[%s] resume: %d clips left to extract", split, len(wavs))
             t0 = time.time()
             audio_seconds = 0.0
             done = 0
@@ -157,6 +169,10 @@ def main():
     p.add_argument("--no-compress-high-freq", action="store_true")
     p.add_argument("--eig-method", default="auto",
                    choices=["auto", "power", "eigh", "pallas"])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--keep-existing", action="store_true",
+                   help="resume: skip clips whose feature file already exists "
+                        "(default mirrors the reference and empties the folder)")
     args = p.parse_args()
     configure_logging()
     extract_features(
@@ -168,6 +184,8 @@ def main():
         is_tracking=not args.no_tracking,
         is_compress_high_freq=not args.no_compress_high_freq,
         eig_method=args.eig_method,
+        batch_size=args.batch_size,
+        keep_existing=args.keep_existing,
     )
 
 

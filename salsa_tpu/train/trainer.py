@@ -137,9 +137,29 @@ def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: floa
             event_prob = jnp.sqrt(xx**2 + yy**2 + zz**2)
         else:
             event_prob = jax.nn.sigmoid(event_logit)
-        return event_prob, doa
+        return event_prob, doa, event_logit
 
     return jax.jit(eval_step)
+
+
+def _host_val_losses(event_logit, doa_pred, sed_gt, doa_gt, n_classes, loss_weight):
+    """Validation losses on host NumPy (same formulas as train/losses.py), so the
+    reference's vall/valsl/valdl logging has an equivalent here."""
+    n = min(event_logit.shape[1], sed_gt.shape[1])
+    logit, sed_gt = event_logit[:, :n], sed_gt[:, :n]
+    doa_pred, doa_gt = doa_pred[:, :n], doa_gt[:, :n]
+    sed_l = float(np.mean(
+        np.maximum(logit, 0) - logit * sed_gt + np.log1p(np.exp(-np.abs(logit)))
+    ))
+    denom = max(float(sed_gt.sum()), 1e-8)
+    doa_l = sum(
+        float(np.sum(np.abs(doa_pred[..., i * n_classes : (i + 1) * n_classes]
+                            - doa_gt[..., i * n_classes : (i + 1) * n_classes])
+                     * sed_gt)) / denom
+        for i in range(3)
+    )
+    total = loss_weight[0] * sed_l + loss_weight[1] * doa_l
+    return {"val_loss": total, "val_sed_loss": sed_l, "val_doa_loss": doa_l}
 
 
 class SeldTrainer:
@@ -217,6 +237,7 @@ class SeldTrainer:
         )
 
         loss_weight = tuple(cfg.training.get("loss_weight", (0.3, 0.7)))
+        self._loss_weight = loss_weight
         augment_fn = None
         if cfg.training.get("device_augment", False):
             from salsa_tpu.train.device_augment import make_device_augment
@@ -390,6 +411,7 @@ class SeldTrainer:
         bs = split_data.chunks_per_clip
         if output_pred_dir:
             os.makedirs(output_pred_dir, exist_ok=True)
+        loss_sums: dict[str, float] = {}
         if bs == 1:
             # one chunk per clip: pack several clips into each device dispatch
             bs = min(8, len(ds))
@@ -405,16 +427,24 @@ class SeldTrainer:
                     f"(got {set(names)}) — check chunks_per_clip"
                 )
             if tta is None:
-                event_prob, doa = self._eval_step(
+                event_prob, doa, event_logit = self._eval_step(
                     self.state.params, self.state.batch_stats, jnp.asarray(x)
                 )
                 event_prob = np.asarray(event_prob)
                 doa = np.asarray(doa)
+                if np.any(sed_gt) and self.output_format == "reg_xyz":
+                    losses = _host_val_losses(
+                        np.asarray(event_logit), doa, sed_gt, doa_gt,
+                        self.n_classes, self._loss_weight,
+                    )
+                    for k, v in losses.items():
+                        loss_sums[k] = loss_sums.get(k, 0.0) + v
+                    loss_sums["_n"] = loss_sums.get("_n", 0) + 1
             else:
                 ev_acc = doa_acc = None
                 for i in range(len(tta)):
                     xt = tta.transform_features(np.asarray(x), i)
-                    ev, dd = self._eval_step(
+                    ev, dd, _ = self._eval_step(
                         self.state.params, self.state.batch_stats, jnp.asarray(xt)
                     )
                     ev = np.asarray(ev)
@@ -454,12 +484,26 @@ class SeldTrainer:
                         hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
                         hf.create_dataset("event_frame_gt", data=sg, dtype=np.float32)
                         hf.create_dataset("doa_frame_gt", data=dg, dtype=np.float32)
+        n_loss = loss_sums.pop("_n", 0)
+        self.last_val_losses = (
+            {k: v / n_loss for k, v in loss_sums.items()} if n_loss else {}
+        )
         return written
 
     def validate(self) -> dict:
         tmp_dir = os.path.join(self.submission_dir, "_temp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         written = self.predict_split(self.val_data, tmp_dir)
+        if getattr(self, "last_val_losses", None):
+            logger.info(
+                "val losses: total %.4f (sed %.4f, doa %.4f)",
+                self.last_val_losses["val_loss"],
+                self.last_val_losses["val_sed_loss"],
+                self.last_val_losses["val_doa_loss"],
+            )
+            if self.tb:
+                for k, v in self.last_val_losses.items():
+                    self.tb.add_scalar(f"val/{k}", v, int(self.state.step))
         return evaluate_submissions(
             tmp_dir,
             self.gt_meta_dir,

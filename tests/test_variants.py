@@ -59,7 +59,7 @@ def test_accdoa_eval_step_sed_from_norm(rng):
     x = jnp.asarray(rng.standard_normal((1, 7, 64, 32)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     ev_step = make_eval_step(model, 3, "accdoa", 2.0)
-    ev, doa = ev_step(variables["params"], variables["batch_stats"], x)
+    ev, doa, _logit = ev_step(variables["params"], variables["batch_stats"], x)
     dd = np.asarray(doa)
     expect = np.sqrt(dd[..., :3] ** 2 + dd[..., 3:6] ** 2 + dd[..., 6:] ** 2)
     np.testing.assert_allclose(np.asarray(ev), expect, atol=1e-6)
