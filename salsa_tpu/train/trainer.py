@@ -333,7 +333,7 @@ class SeldTrainer:
                 )
                 if self.tb:
                     for k, v in scores.items():
-                        self.tb.add_scalar(f"val/{k}", v, self.state.step)
+                        self.tb.add_scalar(f"val/{k}", v, int(self.state.step))
                 meta["valSeld"] = scores["seld_error"]
                 if scores["seld_error"] < best_seld:
                     best_seld = scores["seld_error"]
@@ -343,7 +343,6 @@ class SeldTrainer:
         return self.state
 
     def train_epoch(self, epoch: int) -> dict:
-        sums: dict[str, float] = {}
         count = 0
         pending = []
         if self.device_data:
