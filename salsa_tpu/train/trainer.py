@@ -113,12 +113,27 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
                 arr, (s, 0), (length, arr.shape[1]))
         return jax.vmap(slice_fn)(starts)
 
-    def resident_step(state, features, sed_targets, doa_targets,
-                      f_starts, l_starts, rng):
+    def one_step(state, features, sed_targets, doa_targets, f_starts, l_starts, rng):
         x = gather_windows(features, f_starts, chunk_len).astype(jnp.float32)
         sed = gather_windows(sed_targets, l_starts, label_chunk_len)
         doa = gather_windows(doa_targets, l_starts, label_chunk_len)
         return base_step.__wrapped__(state, x, sed, doa, rng)
+
+    def resident_step(state, features, sed_targets, doa_targets,
+                      f_starts, l_starts, rng):
+        if f_starts.ndim == 1:
+            return one_step(state, features, sed_targets, doa_targets,
+                            f_starts, l_starts, rng)
+
+        # multi-step: f_starts/l_starts are (K, B) — lax.scan runs K optimizer steps
+        # in ONE dispatch, amortizing host->device launch latency K-fold
+        def body(st, starts):
+            fs, ls = starts
+            st, metrics = one_step(st, features, sed_targets, doa_targets, fs, ls, rng)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (f_starts, l_starts))
+        return state, metrics  # metrics leaves are stacked (K,)
 
     return jax.jit(resident_step, donate_argnums=(0,))
 
@@ -348,18 +363,23 @@ class SeldTrainer:
         if self.device_data:
             order = np.arange(len(self._f_starts))
             self.rng.shuffle(order)
-            for i in range(0, self.steps_per_epoch * self.batch_size, self.batch_size):
-                idx = order[i : i + self.batch_size]
-                if len(idx) < self.batch_size:
+            K = int(self.cfg.training.get("steps_per_dispatch", 8))
+            usable = self.steps_per_epoch * self.batch_size
+            i = 0
+            while i < usable:
+                k = min(K, (usable - i) // self.batch_size)
+                if k == 0:
                     break
+                idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
                 self.state, metrics = self._train_step_resident(
                     self.state, self._dev_features, self._dev_sed, self._dev_doa,
                     jnp.asarray(self._f_starts[idx], jnp.int32),
                     jnp.asarray(self._l_starts[idx], jnp.int32),
                     self._dropout_rng,
                 )
-                pending.append(metrics)
-                count += 1
+                pending.append(jax.tree.map(jnp.sum, metrics))
+                count += k
+                i += k * self.batch_size
             return self._finish_epoch(pending, count)
         it = prefetch(batch_iterator(
             self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
