@@ -11,6 +11,7 @@ import os
 
 from salsa_tpu.metrics.scorer import evaluate_submissions
 from salsa_tpu.utils.experiments import configure_logging, logger
+from salsa_tpu.cli._errors import cli_entry
 
 
 def evaluate_seld(output_dir: str, gt_meta_root_dir: str, metric_version: str = "2021",
@@ -30,6 +31,7 @@ def evaluate_seld(output_dir: str, gt_meta_root_dir: str, metric_version: str = 
     return scores
 
 
+@cli_entry
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--output-dir", required=True)

@@ -26,6 +26,7 @@ from salsa_tpu.features.registry import make_extractor
 from salsa_tpu.utils.audio_io import read_wav
 from salsa_tpu.utils.config import load_config
 from salsa_tpu.utils.experiments import configure_logging, logger
+from salsa_tpu.cli._errors import cli_entry
 
 
 def extract_features(
@@ -157,6 +158,7 @@ def extract_features(
     return feature_dir
 
 
+@cli_entry
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-config", required=True)

@@ -16,6 +16,7 @@ from salsa_tpu.models.seld import build_model
 from salsa_tpu.train import checkpoint as ckpt
 from salsa_tpu.train.trainer import SeldTrainer
 from salsa_tpu.utils.experiments import manage_experiments, logger
+from salsa_tpu.cli._errors import cli_entry
 
 
 def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
@@ -80,6 +81,7 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
     return results
 
 
+@cli_entry
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--exp-config", required=True)

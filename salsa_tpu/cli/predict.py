@@ -25,6 +25,7 @@ from salsa_tpu.train.submission import write_classwise_csv
 from salsa_tpu.train.state import create_train_state, make_optimizer
 from salsa_tpu.utils.audio_io import read_wav
 from salsa_tpu.utils.experiments import manage_experiments, logger
+from salsa_tpu.cli._errors import cli_entry
 
 
 def predict(exp_config: str, wav_dir: str, out_dir: str,
@@ -101,6 +102,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     return out_dir
 
 
+@cli_entry
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--exp-config", required=True)

@@ -14,6 +14,7 @@ from salsa_tpu.models.seld import build_model
 from salsa_tpu.train import checkpoint as ckpt
 from salsa_tpu.train.trainer import SeldTrainer
 from salsa_tpu.utils.experiments import manage_experiments, logger
+from salsa_tpu.cli._errors import cli_entry
 
 import numpy as np
 
@@ -99,6 +100,7 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
     return trainer
 
 
+@cli_entry
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--exp-config", required=True)

@@ -340,7 +340,8 @@ class SeldTrainer:
             meta: dict[str, Any] = {"epoch": epoch, **metrics}
             if self.val_dataset is not None and (epoch + 1) % val_interval == 0:
                 scores = self.validate()
-                meta.update({f"val{k}": v for k, v in scores.items()})
+                meta.update({f"val{k}": v for k, v in scores.items()
+                             if k != "seld_error"})  # stored as valSeld below
                 logger.info(
                     "Epoch %d - val SELD %.4f - ER %.4f F1 %.4f LE %.2f LR %.4f",
                     epoch, scores["seld_error"], scores["ER"], scores["F1"],
