@@ -90,7 +90,7 @@ def make_train_step(model, n_classes: int, loss_weight, output_format: str,
 
 def make_resident_train_step(model, n_classes: int, loss_weight, output_format: str,
                              interp_ratio: float, chunk_len: int, label_chunk_len: int,
-                             remat: bool = False, augment_fn=None):
+                             remat: bool = False, augment_fn=None, mesh=None):
     """Device-resident data variant: the whole split's features/targets live on the
     chip and each step receives only (start-index) vectors — chunk windows are
     sliced inside the jit graph.
@@ -99,9 +99,20 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
     bytes of indices), which also sidesteps PJRT transports that pin per-step input
     buffers; (b) chunk slicing + augmentation run on the VPU. Requires the split's
     feature tensor to fit in HBM next to the model (bf16 storage supported).
+
+    With a `mesh`, the mode composes with GSPMD data parallelism: the resident
+    split is replicated over the mesh, the per-step start-index vectors arrive
+    sharded along the 'data' axis, and the gathered windows are constrained to
+    batch-sharded layout — so each device slices only its own shard's windows and
+    the gradient psum rides ICI exactly as in the host-fed path.
     """
     base_step = make_train_step(model, n_classes, loss_weight, output_format,
                                 interp_ratio, remat=remat, augment_fn=augment_fn)
+    batch_sharding = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
 
     def gather_windows(arr, starts, length):
         # arr: (C, T, F) or (T, D); starts: (B,)
@@ -117,6 +128,10 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
         x = gather_windows(features, f_starts, chunk_len).astype(jnp.float32)
         sed = gather_windows(sed_targets, l_starts, label_chunk_len)
         doa = gather_windows(doa_targets, l_starts, label_chunk_len)
+        if batch_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            sed = jax.lax.with_sharding_constraint(sed, batch_sharding)
+            doa = jax.lax.with_sharding_constraint(doa, batch_sharding)
         return base_step.__wrapped__(state, x, sed, doa, rng)
 
     def resident_step(state, features, sed_targets, doa_targets,
@@ -282,18 +297,27 @@ class SeldTrainer:
                 if cfg.training.get("device_data_dtype", "float32") == "bfloat16"
                 else jnp.float32
             )
-            self._dev_features = jax.device_put(
-                jnp.asarray(train_data.features, dtype=store_dtype))
-            self._dev_sed = jax.device_put(jnp.asarray(train_data.sed_targets))
-            self._dev_doa = jax.device_put(jnp.asarray(train_data.doa_targets))
+            # the resident split replicates over the mesh so every device can
+            # slice arbitrary chunk windows locally; per-step index vectors are
+            # sharded along 'data' (see train_epoch), keeping the step fully
+            # data-parallel under GSPMD rather than pinned to device 0
+            self._dev_features = replicate(
+                self.mesh, jnp.asarray(train_data.features, dtype=store_dtype))
+            self._dev_sed = replicate(self.mesh, jnp.asarray(train_data.sed_targets))
+            self._dev_doa = replicate(self.mesh, jnp.asarray(train_data.doa_targets))
             self._train_step_resident = make_resident_train_step(
                 model, self.n_classes, loss_weight, self.output_format,
                 self.interp_ratio, train_data.feature_chunk_len,
                 train_data.label_chunk_len,
                 remat=cfg.training.get("remat", False), augment_fn=augment_fn,
+                mesh=self.mesh,
             )
             self._f_starts = np.asarray(train_data.feature_chunk_starts)
             self._l_starts = np.asarray(train_data.label_chunk_starts)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # (K, B) multi-step index blocks shard along the batch axis
+            self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
@@ -374,8 +398,10 @@ class SeldTrainer:
                 idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
                 self.state, metrics = self._train_step_resident(
                     self.state, self._dev_features, self._dev_sed, self._dev_doa,
-                    jnp.asarray(self._f_starts[idx], jnp.int32),
-                    jnp.asarray(self._l_starts[idx], jnp.int32),
+                    jax.device_put(self._f_starts[idx].astype(np.int32),
+                                   self._starts_sharding),
+                    jax.device_put(self._l_starts[idx].astype(np.int32),
+                                   self._starts_sharding),
                     self._dropout_rng,
                 )
                 pending.append(jax.tree.map(jnp.sum, metrics))

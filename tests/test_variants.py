@@ -101,6 +101,65 @@ def test_mesh_default_uses_all_devices():
     assert dict(mesh.shape)["data"] * dict(mesh.shape)["model"] == len(jax.devices())
 
 
+def test_resident_step_matches_host_fed_on_mesh(rng):
+    """device_data composes with the mesh: an 8-device data-parallel resident step
+    (replicated split + 'data'-sharded index vectors + sharded-window constraint)
+    produces the same losses as the host-fed sharded step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from salsa_tpu.parallel.mesh import replicate
+    from salsa_tpu.train.trainer import make_resident_train_step
+
+    model = small_model()
+    B, chunk, label_chunk = 8, 64, 32
+    features = rng.standard_normal((7, 64 * 10, 32)).astype(np.float32)
+    sed = (rng.random((32 * 10, 3)) < 0.3).astype(np.float32)
+    doa = rng.standard_normal((32 * 10, 9)).astype(np.float32) * 0.5
+    f_starts = (np.arange(B) * 37).astype(np.int32)
+    l_starts = (np.arange(B) * 18).astype(np.int32)
+
+    mesh = make_mesh(n_data=len(jax.devices()))
+    tx = make_optimizer(total_steps=10)
+    rngk = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((1, 7, chunk, 32), jnp.float32)
+
+    # host-fed path: gather windows on host, shard the batch
+    state_h = create_train_state(model, x0, tx, seed=0)
+    state_h = state_h.replace(
+        params=replicate(mesh, state_h.params),
+        batch_stats=replicate(mesh, state_h.batch_stats),
+        opt_state=replicate(mesh, state_h.opt_state))
+    host_step = make_train_step(model, 3, (0.3, 0.7), "reg_xyz", 8.0)
+    x = np.stack([features[:, s : s + chunk, :] for s in f_starts])
+    sg = np.stack([sed[s : s + label_chunk] for s in l_starts])
+    dg = np.stack([doa[s : s + label_chunk] for s in l_starts])
+    host_losses = []
+    for _ in range(2):
+        state_h, m = host_step(state_h, *shard_batch(mesh, (x, sg, dg)), rngk)
+        host_losses.append(float(m["loss"]))
+
+    # resident path: replicated split, sharded (K=1, B) start indices
+    state_r = create_train_state(model, x0, tx, seed=0)
+    state_r = state_r.replace(
+        params=replicate(mesh, state_r.params),
+        batch_stats=replicate(mesh, state_r.batch_stats),
+        opt_state=replicate(mesh, state_r.opt_state))
+    res_step = make_resident_train_step(
+        model, 3, (0.3, 0.7), "reg_xyz", 8.0, chunk, label_chunk, mesh=mesh)
+    dev_f = replicate(mesh, jnp.asarray(features))
+    dev_s = replicate(mesh, jnp.asarray(sed))
+    dev_d = replicate(mesh, jnp.asarray(doa))
+    starts_sh = NamedSharding(mesh, P(None, "data"))
+    res_losses = []
+    for _ in range(2):
+        state_r, m = res_step(
+            state_r, dev_f, dev_s, dev_d,
+            jax.device_put(f_starts[None], starts_sh),
+            jax.device_put(l_starts[None], starts_sh), rngk)
+        res_losses.append(float(np.asarray(m["loss"]).sum()))
+
+    np.testing.assert_allclose(res_losses, host_losses, rtol=2e-5)
+
+
 def test_device_resident_training(rng):
     """device_data mode trains from on-device features given only index vectors."""
     from salsa_tpu.train.trainer import SeldTrainer
