@@ -86,3 +86,41 @@ def test_compression_matrix_uncompressed():
     W = high_freq_compression_matrix(512, compress=False)
     assert W.shape == (256, 257)
     assert W[:, 0].sum() == 0.0  # DC dropped
+
+
+def test_mel_filterbank_matches_librosa_slaney(rng):
+    """Exact-match check against transformers.audio_utils.mel_filter_bank — an
+    independent reimplementation of librosa.filters.mel's Slaney scale + slaney
+    norm (the reference's filterbank, dataset/feature_extraction.py:45). Closes
+    the melspec* weighting risk flagged in VERDICT r01 (missing #4)."""
+    from transformers.audio_utils import mel_filter_bank
+
+    for fs, n_fft, n_mels, fmin, fmax in [
+        (24000, 512, 128, 50.0, None),   # the reference's TNSSE2021 config
+        (24000, 1024, 200, 50.0, 9000.0),
+        (32000, 512, 64, 0.0, None),
+    ]:
+        fmax_eff = fmax if fmax is not None else fs / 2
+        mine = mel_filterbank(fs, n_fft, n_mels, fmin=fmin, fmax=fmax, dtype=np.float64)
+        ref = mel_filter_bank(
+            num_frequency_bins=n_fft // 2 + 1, num_mel_filters=n_mels,
+            min_frequency=float(fmin), max_frequency=float(fmax_eff),
+            sampling_rate=fs, norm="slaney", mel_scale="slaney",
+        ).T
+        np.testing.assert_allclose(mine, ref, atol=1e-14)
+
+
+def test_stft_matches_torch(rng):
+    """Repo STFT vs torch.stft (independent implementation, librosa semantics)."""
+    import torch
+
+    from salsa_tpu.dsp.stft import stft
+
+    y = rng.standard_normal(4000).astype(np.float32)
+    got = np.asarray(stft(jnp.asarray(y), n_fft=512, hop_length=300, win_length=512)).T
+    ref = torch.stft(
+        torch.from_numpy(y), n_fft=512, hop_length=300, win_length=512,
+        window=torch.hann_window(512, periodic=True), center=True,
+        pad_mode="reflect", return_complex=True,
+    ).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-3)
