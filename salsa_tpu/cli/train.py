@@ -41,6 +41,12 @@ def build_database_from_cfg(cfg) -> SeldDatabase:
 def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
           resume: bool = False, seed: int | None = None,
           overrides: list[str] | None = None):
+    # multi-host: form the global runtime BEFORE any backend use. No-op unless
+    # SALSA_COORDINATOR/SALSA_NUM_PROCESSES/SALSA_PROCESS_ID are set (or a TPU
+    # pod / SLURM cluster is auto-detectable). See parallel/distributed.py.
+    from salsa_tpu.parallel.distributed import initialize as dist_init
+
+    dist_init()
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=True)
     if overrides:
         from salsa_tpu.utils.config import apply_overrides

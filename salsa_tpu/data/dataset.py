@@ -46,16 +46,36 @@ def batch_iterator(
     drop_last: bool = False,
     rng: np.random.Generator | None = None,
     pad_to_batch: bool = False,
+    process_shard: tuple[int, int] | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, list[str], int]]:
     """Yields (x, sed, doa, clip_names, n_real) batches as stacked numpy arrays.
 
     With pad_to_batch, short tail batches are padded by repeating the last sample so
     jitted step functions see a single static batch shape; n_real reports the
     unpadded count.
+
+    process_shard=(pid, n_proc) is the multi-host mode: the shuffle order is
+    computed over the full dataset (so it is identical on every same-seeded
+    process), but each process materializes only its own rows of each global
+    batch — the host never reads chunks destined for another host's devices.
+    Requires drop_last (uniform global batches).
     """
     order = np.arange(len(dataset))
     if shuffle:
         (rng or np.random.default_rng()).shuffle(order)
+    if process_shard is not None:
+        pid, n_proc = process_shard
+        assert drop_last and batch_size % n_proc == 0, (
+            "multi-host batches must be uniform and divisible by process count")
+        per = batch_size // n_proc
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[i + pid * per : i + (pid + 1) * per]
+            samples = [dataset[int(j)] for j in idx]
+            yield (np.stack([s[0] for s in samples]),
+                   np.stack([s[1] for s in samples]),
+                   np.stack([s[2] for s in samples]),
+                   [s[3] for s in samples], per)
+        return
     for i in range(0, len(order), batch_size):
         idx = order[i : i + batch_size]
         if len(idx) < batch_size:

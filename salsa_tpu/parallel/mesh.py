@@ -31,7 +31,9 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Put a pytree of host arrays onto the mesh, sharded along leading (batch) dim."""
+    """Put a pytree of host arrays onto the mesh, sharded along leading (batch) dim.
+    Single-process only; multi-host feeds shards via
+    distributed.global_batch_from_local instead."""
     def put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -39,7 +41,12 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh (multi-process safe: every process
+    must hold identical host values, e.g. same-seed init)."""
+    if jax.process_count() > 1:
+        from salsa_tpu.parallel.distributed import make_replicated
+
+        return make_replicated(mesh, tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 

@@ -208,6 +208,8 @@ class SeldTrainer:
     ):
         self.model = model
         self.cfg = cfg
+        self._n_proc = jax.process_count()
+        self._pid = jax.process_index()
         self.n_classes = cfg.data.n_classes
         self.output_format = cfg.data.get("output_format", "reg_xyz")
         self.label_rate = cfg.data.get("label_rate", 10)
@@ -362,6 +364,12 @@ class SeldTrainer:
                 metrics["sed_loss"], metrics["doa_loss"], time.time() - t0,
             )
             meta: dict[str, Any] = {"epoch": epoch, **metrics}
+            # multi-host: validation (host-side CSV writing + scoring) and all
+            # checkpoint writes happen on process 0 only; the eval step below runs
+            # on local devices from fetched replicated params, so non-primary
+            # processes skipping it cannot deadlock a collective
+            if self._n_proc > 1 and self._pid != 0:
+                continue
             if self.val_dataset is not None and (epoch + 1) % val_interval == 0:
                 scores = self.validate()
                 meta.update({f"val{k}": v for k, v in scores.items()
@@ -396,24 +404,40 @@ class SeldTrainer:
                 if k == 0:
                     break
                 idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
+                if self._n_proc > 1:
+                    # each process contributes only its own batch columns
+                    per = self.batch_size // self._n_proc
+                    local = idx[:, self._pid * per : (self._pid + 1) * per]
+                    f_st = jax.make_array_from_process_local_data(
+                        self._starts_sharding, self._f_starts[local].astype(np.int32))
+                    l_st = jax.make_array_from_process_local_data(
+                        self._starts_sharding, self._l_starts[local].astype(np.int32))
+                else:
+                    f_st = jax.device_put(self._f_starts[idx].astype(np.int32),
+                                          self._starts_sharding)
+                    l_st = jax.device_put(self._l_starts[idx].astype(np.int32),
+                                          self._starts_sharding)
                 self.state, metrics = self._train_step_resident(
                     self.state, self._dev_features, self._dev_sed, self._dev_doa,
-                    jax.device_put(self._f_starts[idx].astype(np.int32),
-                                   self._starts_sharding),
-                    jax.device_put(self._l_starts[idx].astype(np.int32),
-                                   self._starts_sharding),
-                    self._dropout_rng,
+                    f_st, l_st, self._dropout_rng,
                 )
                 pending.append(jax.tree.map(jnp.sum, metrics))
                 count += k
                 i += k * self.batch_size
             return self._finish_epoch(pending, count)
+        multihost = self._n_proc > 1
         it = prefetch(batch_iterator(
             self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
-            drop_last=len(self.train_dataset) >= self.batch_size,
+            drop_last=multihost or len(self.train_dataset) >= self.batch_size,
+            process_shard=(self._pid, self._n_proc) if multihost else None,
         ))
         for x, sed, doa, _names, _n in it:
-            batch = shard_batch(self.mesh, (x, sed, doa))
+            if multihost:
+                from salsa_tpu.parallel.distributed import global_batch_from_local
+
+                batch = global_batch_from_local(self.mesh, (x, sed, doa))
+            else:
+                batch = shard_batch(self.mesh, (x, sed, doa))
             self.state, metrics = self._train_step(
                 self.state, *batch, self._dropout_rng
             )
@@ -449,6 +473,13 @@ class SeldTrainer:
         from salsa_tpu.train.submission import combine_chunks, write_classwise_csv
 
         os.makedirs(submission_dir, exist_ok=True)
+        eval_params, eval_stats = self.state.params, self.state.batch_stats
+        if self._n_proc > 1:
+            # params live on the global mesh; fetch the (replicated, hence locally
+            # addressable) values so the eval jit runs on this process's devices
+            # without cross-host collectives
+            eval_params = jax.device_get(eval_params)
+            eval_stats = jax.device_get(eval_stats)
         ds = SeldChunkDataset(split_data)
         written = []
         n_label_frames = self.max_label_frames
@@ -474,7 +505,7 @@ class SeldTrainer:
                 )
             if tta is None:
                 event_prob, doa, event_logit = self._eval_step(
-                    self.state.params, self.state.batch_stats, jnp.asarray(x)
+                    eval_params, eval_stats, jnp.asarray(x)
                 )
                 event_prob = np.asarray(event_prob)
                 doa = np.asarray(doa)
@@ -491,7 +522,7 @@ class SeldTrainer:
                 for i in range(len(tta)):
                     xt = tta.transform_features(np.asarray(x), i)
                     ev, dd, _ = self._eval_step(
-                        self.state.params, self.state.batch_stats, jnp.asarray(xt)
+                        eval_params, eval_stats, jnp.asarray(xt)
                     )
                     ev = np.asarray(ev)
                     dd = tta.inverse_doa(np.asarray(dd), i)

@@ -1,0 +1,80 @@
+"""Shared worker for the multi-host integration test (tests/test_multihost.py).
+
+Importable (single-process expected-value run) and executable (spawned once per
+process with SALSA_COORDINATOR/SALSA_NUM_PROCESSES/SALSA_PROCESS_ID set; each
+process gets 4 virtual CPU devices, so 2 processes form the same 8-device global
+mesh the in-test single-process run uses).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def build_problem():
+    import numpy as np
+
+    from salsa_tpu.data.database import SplitData
+    from salsa_tpu.utils.config import AttrDict
+
+    rng = np.random.default_rng(7)
+    n_chunks, chunk, label_chunk = 24, 64, 32
+    features = rng.standard_normal((7, 64 * 26, 32)).astype(np.float32)
+    sed = (rng.random((32 * 26, 3)) < 0.3).astype(np.float32)
+    doa = (rng.standard_normal((32 * 26, 9)) * 0.5).astype(np.float32)
+    data = SplitData(
+        features=features, sed_targets=sed, doa_targets=doa,
+        feature_chunk_starts=np.arange(n_chunks) * 64,
+        label_chunk_starts=np.arange(n_chunks) * 32,
+        clip_names=["c"] * n_chunks, feature_chunk_len=chunk,
+        feature_chunk_hop=chunk, label_chunk_len=label_chunk,
+        label_chunk_hop=label_chunk, chunks_per_clip=n_chunks,
+    )
+    cfg = AttrDict({
+        "data": {"fs": 8000, "hop_len": 400, "n_classes": 3, "label_rate": 10,
+                 "output_format": "reg_xyz"},
+        "training": {"train_batch_size": 8, "max_epochs": 2,
+                     "lr_scheduler": {"milestones": [0, 1], "lrs": [1e-3, 1e-3],
+                                      "moms": [0.9, 0.9]}},
+    })
+    return data, cfg
+
+
+def run(n_epochs: int = 2) -> list[float]:
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.train.trainer import SeldTrainer
+
+    data, cfg = build_problem()
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru", "decoder_size": 16,
+                 "freq_pool": "avg"},
+        n_classes=3,
+    )
+    trainer = SeldTrainer(model=model, cfg=cfg, train_data=data, val_data=None,
+                          gt_meta_dir=None, submission_dir="/tmp/salsa_mh", seed=0)
+    return [float(trainer.train_epoch(e)["loss"]) for e in range(n_epochs)]
+
+
+def main():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from salsa_tpu.parallel.distributed import initialize
+
+    initialize()  # forms the 2-process global runtime from SALSA_* env vars
+    assert jax.process_count() == int(os.environ["SALSA_NUM_PROCESSES"])
+    assert len(jax.devices()) == 8, f"global devices: {len(jax.devices())}"
+    losses = run()
+    print(json.dumps({"pid": jax.process_index(), "losses": losses}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ def test_extract_cli(workspace):
     assert len(clips) == 4
 
 
+@pytest.mark.slow
 def test_train_and_infer_cli(workspace):
     tmp, data_cfg, meta, data_dir = workspace
     feature_dir = os.path.join(

@@ -95,6 +95,7 @@ def synth_experiment(tmp_path_factory):
                     gt_dir=str(gt_dir))
 
 
+@pytest.mark.slow
 def test_training_runs_and_validates(synth_experiment):
     s = synth_experiment
     model = build_model(
@@ -130,6 +131,7 @@ def test_training_runs_and_validates(synth_experiment):
     assert len([f for f in os.listdir(sub_dir) if f.endswith(".csv")]) == 1
 
 
+@pytest.mark.slow
 def test_fit_saves_checkpoints_and_resumes(synth_experiment):
     s = synth_experiment
     model = build_model(

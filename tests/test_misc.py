@@ -1,6 +1,7 @@
 """Odds and ends: arbitrary mic counts for SALSA (contrib/salsa_flexible parity),
 batched-vs-sequential extraction equality, profiling utils."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,7 @@ from salsa_tpu.features.salsa import SalsaParams, extract_salsa
 from salsa_tpu.utils.profiling import stage_timer
 
 
+@pytest.mark.slow
 def test_salsa_arbitrary_mic_count(rng):
     """The reference's contrib/salsa_flexible supports arbitrary mic counts; our
     extractor is mic-count generic by construction (pallas falls back to XLA)."""

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -7,6 +8,7 @@ from salsa_tpu.train.state import create_train_state, dropout_rng, make_optimize
 from salsa_tpu.train.trainer import make_train_step
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain(rng):
     model = build_model(
         encoder={"name": "PannResNet22", "n_input_channels": 7},

@@ -36,6 +36,7 @@ def test_transformer_decoder_forward(rng):
     assert out["doa_frame_output"].shape == (2, 4, 9)
 
 
+@pytest.mark.slow
 def test_accdoa_train_step_decreases_doa_loss(rng):
     model = small_model(output_format="accdoa")
     B, T, F = 4, 64, 32
@@ -101,6 +102,7 @@ def test_mesh_default_uses_all_devices():
     assert dict(mesh.shape)["data"] * dict(mesh.shape)["model"] == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_resident_step_matches_host_fed_on_mesh(rng):
     """device_data composes with the mesh: an 8-device data-parallel resident step
     (replicated split + 'data'-sharded index vectors + sharded-window constraint)
@@ -160,6 +162,7 @@ def test_resident_step_matches_host_fed_on_mesh(rng):
     np.testing.assert_allclose(res_losses, host_losses, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_device_resident_training(rng):
     """device_data mode trains from on-device features given only index vectors."""
     from salsa_tpu.train.trainer import SeldTrainer
