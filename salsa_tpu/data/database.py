@@ -96,7 +96,13 @@ class SplitData:
     feature_chunk_hop: int = 0
     label_chunk_len: int = 0
     label_chunk_hop: int = 0
-    chunks_per_clip: int = 0      # == natural batch for val/test (one clip per batch)
+    chunks_per_clip: int = 0      # max chunks of any clip (uniform for 60 s corpora)
+    # per-clip bookkeeping (clip order == file order == chunk order), enabling
+    # correct recombination when clips have DIFFERING lengths (real DCASE eval
+    # sets mix durations; reference datamodule.py:116-124 assumes uniformity)
+    unique_clip_names: list[str] = field(default_factory=list)
+    clip_chunk_counts: np.ndarray | None = None   # (n_clips,)
+    clip_label_frames: np.ndarray | None = None   # (n_clips,) true pre-pad lengths
 
     def __len__(self):
         return len(self.feature_chunk_starts)
@@ -137,6 +143,10 @@ class LazySplitData(SplitData):
             self._handles[path] = hf
         f0 = int(self.within_clip_start[index])
         window = hf["feature"][:, f0 : f0 + self.feature_chunk_len, :]
+        if window.shape[1] < self.feature_chunk_len:
+            # clip shorter than the chunk window (see load_split short-clip pad)
+            window = np.pad(
+                window, ((0, 0), (0, self.feature_chunk_len - window.shape[1]), (0, 0)))
         return self.normalize_fn(window)
 
 
@@ -226,6 +236,7 @@ class SeldDatabase:
         features, seds, doas, names_per_chunk = [], [], [], []
         f_starts, l_starts = [], []
         clip_of_chunk, within_clip_start, clip_paths = [], [], []
+        clip_chunk_counts, clip_label_frames = [], []
         f_ptr = l_ptr = 0
         chunks_per_clip = 0
         feat_shape = None
@@ -243,6 +254,7 @@ class SeldDatabase:
             n_frames = min(n_feat_frames, self.max_label_frames * self.label_upsample)
             n_frames -= n_frames % self.label_upsample
             n_label_frames = n_frames // self.label_upsample
+            true_label_frames = n_label_frames
 
             gt_path = self.gt_meta_path(split, name)
             if gt_path and os.path.isfile(gt_path):
@@ -250,6 +262,17 @@ class SeldDatabase:
             else:
                 sed = np.zeros((n_label_frames, self.n_classes), dtype=np.float32)
                 doa = np.zeros((n_label_frames, 3 * self.n_classes), dtype=np.float32)
+
+            if n_frames < chunk_len:
+                # clip shorter than the chunk window: zero-pad to one full chunk
+                # (the true length is recorded so CSV output stops at real frames)
+                pad_f = chunk_len - n_frames
+                pad_l = label_chunk_len - n_label_frames
+                if preload:
+                    feat = np.pad(feat[:, :n_frames, :], ((0, 0), (0, pad_f), (0, 0)))
+                sed = np.pad(sed, ((0, pad_l), (0, 0)))
+                doa = np.pad(doa, ((0, pad_l), (0, 0)))
+                n_frames, n_label_frames = chunk_len, label_chunk_len
 
             starts_f = chunk_starts(n_frames, chunk_len, chunk_hop, f_ptr)
             starts_l = chunk_starts(
@@ -261,7 +284,9 @@ class SeldDatabase:
                 within_clip_start.extend(s - f_ptr for s in starts_f)
             f_ptr += n_frames
             l_ptr += n_label_frames
-            chunks_per_clip = len(starts_f)
+            chunks_per_clip = max(chunks_per_clip, len(starts_f))
+            clip_chunk_counts.append(len(starts_f))
+            clip_label_frames.append(true_label_frames)
 
             if preload:
                 features.append(feat[:, :n_frames, :])
@@ -282,6 +307,9 @@ class SeldDatabase:
             label_chunk_len=label_chunk_len,
             label_chunk_hop=max(1, chunk_hop // self.label_upsample),
             chunks_per_clip=chunks_per_clip,
+            unique_clip_names=list(names),
+            clip_chunk_counts=np.asarray(clip_chunk_counts, dtype=np.int64),
+            clip_label_frames=np.asarray(clip_label_frames, dtype=np.int64),
         )
         if preload:
             return SplitData(features=np.concatenate(features, axis=1), **common)

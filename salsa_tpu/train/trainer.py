@@ -172,24 +172,19 @@ def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: floa
     return jax.jit(eval_step)
 
 
-def _host_val_losses(event_logit, doa_pred, sed_gt, doa_gt, n_classes, loss_weight):
-    """Validation losses on host NumPy (same formulas as train/losses.py), so the
-    reference's vall/valsl/valdl logging has an equivalent here."""
-    n = min(event_logit.shape[1], sed_gt.shape[1])
-    logit, sed_gt = event_logit[:, :n], sed_gt[:, :n]
-    doa_pred, doa_gt = doa_pred[:, :n], doa_gt[:, :n]
-    sed_l = float(np.mean(
-        np.maximum(logit, 0) - logit * sed_gt + np.log1p(np.exp(-np.abs(logit)))
-    ))
-    denom = max(float(sed_gt.sum()), 1e-8)
-    doa_l = sum(
-        float(np.sum(np.abs(doa_pred[..., i * n_classes : (i + 1) * n_classes]
-                            - doa_gt[..., i * n_classes : (i + 1) * n_classes])
-                     * sed_gt)) / denom
-        for i in range(3)
-    )
-    total = loss_weight[0] * sed_l + loss_weight[1] * doa_l
-    return {"val_loss": total, "val_sed_loss": sed_l, "val_doa_loss": doa_l}
+def make_val_loss_step(n_classes: int, loss_weight):
+    """Jitted validation losses reusing the training loss functions themselves
+    (train/losses.py) — one set of formulas, no host-NumPy duplicate to drift.
+    Prediction frames are trimmed to the target length before scoring."""
+
+    def val_loss(event_logit, doa_pred, sed_gt, doa_gt):
+        n = min(event_logit.shape[1], sed_gt.shape[1])
+        pred = {"event_frame_logit": event_logit[:, :n],
+                "doa_frame_output": doa_pred[:, :n]}
+        target = {"event_frame_gt": sed_gt[:, :n], "doa_frame_gt": doa_gt[:, :n]}
+        return seld_loss(pred, target, n_classes, loss_weight)
+
+    return jax.jit(val_loss)
 
 
 class SeldTrainer:
@@ -323,6 +318,7 @@ class SeldTrainer:
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
+        self._val_loss_step = make_val_loss_step(self.n_classes, loss_weight)
         self._dropout_rng = dropout_rng(seed)
 
         self.tb = None
@@ -481,41 +477,32 @@ class SeldTrainer:
             eval_params = jax.device_get(eval_params)
             eval_stats = jax.device_get(eval_stats)
         ds = SeldChunkDataset(split_data)
-        written = []
-        n_label_frames = self.max_label_frames
-        label_chunk_len = split_data.label_chunk_len
-        label_chunk_hop = split_data.label_chunk_hop
-        bs = split_data.chunks_per_clip
         if output_pred_dir:
             os.makedirs(output_pred_dir, exist_ok=True)
+        label_chunk_len = split_data.label_chunk_len
+        label_chunk_hop = split_data.label_chunk_hop
+
+        # Stage 1 — evaluate every chunk in clip order through fixed-shape
+        # dispatches (batching decoupled from clip boundaries, so splits mixing
+        # clip durations are exact; the reference assumes uniform chunks_per_clip,
+        # datamodule.py:116-124).
+        bs = min(max(split_data.chunks_per_clip, 8), max(1, len(ds)))
+        probs, doas = [], []
         loss_sums: dict[str, float] = {}
-        if bs == 1:
-            # one chunk per clip: pack several clips into each device dispatch
-            bs = min(8, len(ds))
-        else:
-            assert bs == split_data.chunks_per_clip
-        per_batch_clips = bs if split_data.chunks_per_clip == 1 else 1
-        for x, sed_gt, doa_gt, names, n_real in batch_iterator(
+        for x, sed_gt, doa_gt, _names, n_real in batch_iterator(
             ds, bs, shuffle=False, pad_to_batch=True
         ):
-            if per_batch_clips == 1:
-                assert len(set(names)) == 1, (
-                    "a val/test batch must contain chunks of exactly one clip "
-                    f"(got {set(names)}) — check chunks_per_clip"
-                )
             if tta is None:
                 event_prob, doa, event_logit = self._eval_step(
                     eval_params, eval_stats, jnp.asarray(x)
                 )
-                event_prob = np.asarray(event_prob)
-                doa = np.asarray(doa)
                 if np.any(sed_gt) and self.output_format == "reg_xyz":
-                    losses = _host_val_losses(
-                        np.asarray(event_logit), doa, sed_gt, doa_gt,
-                        self.n_classes, self._loss_weight,
+                    tot, sl, dl = self._val_loss_step(
+                        event_logit, doa, jnp.asarray(sed_gt), jnp.asarray(doa_gt)
                     )
-                    for k, v in losses.items():
-                        loss_sums[k] = loss_sums.get(k, 0.0) + v
+                    loss_sums["val_loss"] = loss_sums.get("val_loss", 0.0) + float(tot)
+                    loss_sums["val_sed_loss"] = loss_sums.get("val_sed_loss", 0.0) + float(sl)
+                    loss_sums["val_doa_loss"] = loss_sums.get("val_doa_loss", 0.0) + float(dl)
                     loss_sums["_n"] = loss_sums.get("_n", 0) + 1
             else:
                 ev_acc = doa_acc = None
@@ -530,37 +517,59 @@ class SeldTrainer:
                     doa_acc = dd if doa_acc is None else doa_acc + dd
                 event_prob = ev_acc / len(tta)
                 doa = doa_acc / len(tta)
-            if per_batch_clips > 1:
-                clip_preds = [
-                    (names[i], event_prob[i], doa[i], sed_gt[i : i + 1],
-                     doa_gt[i : i + 1])
-                    for i in range(n_real)
-                ]
-            elif event_prob.shape[0] == 1:
-                clip_preds = [(names[0], event_prob[0], doa[0], sed_gt, doa_gt)]
-            else:
-                ep = combine_chunks(event_prob, label_chunk_len, label_chunk_hop,
-                                    n_label_frames, combine_method)
-                dp = combine_chunks(doa, label_chunk_len, label_chunk_hop,
-                                    n_label_frames, combine_method)
-                clip_preds = [(names[0], ep, dp, sed_gt, doa_gt)]
-            for name, ep, dp, sg, dg in clip_preds:
-                fn = name + ".csv"
-                write_classwise_csv(
-                    os.path.join(submission_dir, fn), ep, dp, self.n_classes,
-                    sed_threshold=self.sed_threshold, max_frames=n_label_frames,
-                    version=self.eval_version,
-                )
-                written.append(fn)
-                if output_pred_dir:
-                    # raw prediction dump (parity with reference interfaces.py:182-202)
-                    import h5py
+            probs.append(np.asarray(event_prob)[:n_real])
+            doas.append(np.asarray(doa)[:n_real])
+        probs = np.concatenate(probs, axis=0)
+        doas = np.concatenate(doas, axis=0)
 
-                    with h5py.File(os.path.join(output_pred_dir, name + ".h5"), "w") as hf:
-                        hf.create_dataset("event_frame_pred", data=ep[None], dtype=np.float32)
-                        hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
-                        hf.create_dataset("event_frame_gt", data=sg, dtype=np.float32)
-                        hf.create_dataset("doa_frame_gt", data=dg, dtype=np.float32)
+        # Stage 2 — regroup per clip, recombine overlaps, write submissions.
+        if split_data.clip_chunk_counts is not None:
+            clip_names = split_data.unique_clip_names
+            counts = split_data.clip_chunk_counts
+            label_frames = np.minimum(split_data.clip_label_frames,
+                                      self.max_label_frames)
+        else:  # hand-built SplitData without per-clip tables: uniform clips
+            k = max(1, split_data.chunks_per_clip)
+            counts = np.full(len(ds) // k, k, dtype=np.int64)
+            clip_names = split_data.clip_names[::k]
+            label_frames = np.full(len(counts), self.max_label_frames, dtype=np.int64)
+        written = []
+        sed_t, doa_t = split_data.sed_targets, split_data.doa_targets
+        i = l_ptr = 0
+        for ci, name in enumerate(clip_names):
+            k = int(counts[ci])
+            n_label = int(label_frames[ci])
+            l_starts = split_data.label_chunk_starts
+            padded_label = int(l_starts[i + k - 1] - l_starts[i]) + label_chunk_len
+            if k == 1:
+                ep, dp = probs[i][:n_label], doas[i][:n_label]
+            else:
+                ep = combine_chunks(probs[i : i + k], label_chunk_len,
+                                    label_chunk_hop, n_label, combine_method)
+                dp = combine_chunks(doas[i : i + k], label_chunk_len,
+                                    label_chunk_hop, n_label, combine_method)
+            fn = name + ".csv"
+            write_classwise_csv(
+                os.path.join(submission_dir, fn), ep, dp, self.n_classes,
+                sed_threshold=self.sed_threshold, max_frames=n_label,
+                version=self.eval_version,
+            )
+            written.append(fn)
+            if output_pred_dir:
+                # raw prediction dump (parity with reference interfaces.py:182-202)
+                import h5py
+
+                with h5py.File(os.path.join(output_pred_dir, name + ".h5"), "w") as hf:
+                    hf.create_dataset("event_frame_pred", data=ep[None], dtype=np.float32)
+                    hf.create_dataset("doa_frame_pred", data=dp[None], dtype=np.float32)
+                    hf.create_dataset("event_frame_gt",
+                                      data=sed_t[l_ptr : l_ptr + n_label][None],
+                                      dtype=np.float32)
+                    hf.create_dataset("doa_frame_gt",
+                                      data=doa_t[l_ptr : l_ptr + n_label][None],
+                                      dtype=np.float32)
+            i += k
+            l_ptr += padded_label
         n_loss = loss_sums.pop("_n", 0)
         self.last_val_losses = (
             {k: v / n_loss for k, v in loss_sums.items()} if n_loss else {}

@@ -140,3 +140,70 @@ def test_checkpoint_orbax_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.best_checkpoint(str(tmp_path)) == path
+
+
+def test_predict_split_mixed_length_clips(tmp_path, rng):
+    """Validation over clips of DIFFERING durations (real DCASE eval sets): per-clip
+    chunk grouping replaces the uniform chunks_per_clip assumption (VERDICT r01
+    weak #5). Clips of 6 s / 3 s / 1 s with 2 s test chunks -> 5 / 2 / 1 chunks
+    (the 1 s clip is zero-padded to one full chunk; its CSV stops at true frames)."""
+    from salsa_tpu.data.database import SeldDatabase
+    from salsa_tpu.data.feature_store import FeatureStore, StreamingScaler
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.train.trainer import SeldTrainer
+    from salsa_tpu.utils.config import AttrDict
+
+    store = FeatureStore(str(tmp_path / "feat"), "foa")
+    scaler = StreamingScaler(4)
+    lengths = {"long": 480, "mid": 240, "tiny": 80}
+    for name, n in lengths.items():
+        feat = rng.standard_normal((7, n, 20)).astype(np.float32)
+        store.write_clip("dev", name, feat)
+        scaler.update(feat)
+    store.write_scaler(*scaler.finalize())
+    gt_dir = tmp_path / "gt" / "metadata_dev"
+    gt_dir.mkdir(parents=True)
+    for name in lengths:
+        (gt_dir / f"{name}.csv").write_text("0,0,0,10,20\n5,2,0,-90,0\n")
+    (tmp_path / "meta").mkdir()
+    (tmp_path / "meta" / "val.csv").write_text("filename\nlong\nmid\ntiny\n")
+
+    db = SeldDatabase(
+        feature_root_dir=str(tmp_path / "feat"), gt_meta_root_dir=str(tmp_path / "gt"),
+        audio_format="foa", n_classes=4, train_chunk_len_s=2.0,
+        train_chunk_hop_len_s=1.0, test_chunk_len_s=2.0, test_chunk_hop_len_s=1.0,
+        max_file_len_s=6.0,
+    )
+    split = db.load_split("val", split_meta_dir=str(tmp_path / "meta"),
+                          stage="inference")
+    assert list(split.clip_chunk_counts) == [5, 2, 1]
+    assert list(split.clip_label_frames) == [60, 30, 10]
+    assert len(split) == 8
+
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru", "decoder_size": 16,
+                 "freq_pool": "avg"},
+        n_classes=4,
+    )
+    cfg = AttrDict({
+        "data": {"fs": 24000, "hop_len": 300, "n_classes": 4, "label_rate": 10,
+                 "output_format": "reg_xyz", "max_file_len_s": 6.0},
+        "training": {"train_batch_size": 4, "max_epochs": 1,
+                     "lr_scheduler": {"milestones": [0, 1], "lrs": [1e-3, 1e-3],
+                                      "moms": [0.9, 0.9]}},
+    })
+    trainer = SeldTrainer(model=model, cfg=cfg, train_data=split, val_data=split,
+                          gt_meta_dir=str(gt_dir), submission_dir=str(tmp_path / "sub"),
+                          seed=0)
+    written = trainer.predict_split(split, str(tmp_path / "sub"))
+    assert sorted(written) == ["long.csv", "mid.csv", "tiny.csv"]
+    # every CSV's frames stay inside the clip's true length
+    for name, n in lengths.items():
+        text = (tmp_path / "sub" / f"{name}.csv").read_text().strip()
+        if text:
+            frames = [int(line.split(",")[0]) for line in text.splitlines()]
+            assert max(frames) < n // 8  # label frames = feature frames / 8
+    # val losses computed via the jitted training loss
+    assert set(trainer.last_val_losses) == {"val_loss", "val_sed_loss", "val_doa_loss"}
+    assert np.isfinite(trainer.last_val_losses["val_loss"])
