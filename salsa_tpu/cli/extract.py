@@ -115,8 +115,10 @@ def extract_features(
                 group = wavs[start : start + batch_size]
                 audios = []
                 for wav in group:
-                    audio, wav_fs = read_wav(os.path.join(audio_dir, wav))
-                    assert wav_fs == fs, f"{wav}: fs {wav_fs} != config fs {fs}"
+                    # non-native-rate input is resampled to the pipeline rate
+                    # (reference librosa.load(sr=fs) semantics)
+                    audio, wav_fs = read_wav(os.path.join(audio_dir, wav),
+                                             target_fs=fs)
                     audio_seconds += audio.shape[1] / fs
                     audios.append(audio)
                 n_real = len(audios)

@@ -53,8 +53,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     wavs = sorted(f for f in os.listdir(wav_dir) if f.endswith(".wav"))
     if not wavs:
         raise FileNotFoundError(f"no wavs in {wav_dir}")
-    probe, fs = read_wav(os.path.join(wav_dir, wavs[0]))
-    assert fs == d.fs
+    probe, fs = read_wav(os.path.join(wav_dir, wavs[0]), target_fs=d.fs)
     sample_feat_shape = (
         extractor.n_channels,
         1 + probe.shape[1] // d.hop_len,
@@ -82,7 +81,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
         group = wavs[start : start + batch_size]
         audios = []
         for w in group:
-            a, _ = read_wav(os.path.join(wav_dir, w))
+            a, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
             audio_seconds += a.shape[1] / fs
             audios.append(a)
         min_len = min(a.shape[1] for a in audios)

@@ -14,26 +14,52 @@ import struct
 import numpy as np
 
 
-def read_wav(path: str, prefer_native: bool = True) -> tuple[np.ndarray, int]:
+def resample(audio: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
+    """Polyphase (kaiser-windowed FIR) resampling along the last axis.
+
+    Matches the role of the reference's librosa.load(..., sr=fs), which resamples
+    any input to the pipeline rate (salsa_feature_extraction.py:353). Rational
+    rate conversion: up/down = target/orig reduced by gcd."""
+    if orig_fs == target_fs:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(orig_fs), int(target_fs))
+    out = resample_poly(audio.astype(np.float64), int(target_fs) // g,
+                        int(orig_fs) // g, axis=-1)
+    return out.astype(np.float32)
+
+
+def read_wav(path: str, prefer_native: bool = True,
+             target_fs: int | None = None) -> tuple[np.ndarray, int]:
     """Read a WAV file.
 
     Uses the C++ decoder (salsa_tpu/native) when available, falling back to the pure
-    Python parser below.
+    Python parser below. With target_fs, input at any other rate is resampled
+    (polyphase kaiser) so callers always receive the pipeline rate — the reference's
+    librosa.load(sr=fs) semantics.
 
     Returns:
         data: float32 array of shape (n_channels, n_samples), in [-1, 1).
-        fs: sample rate.
+        fs: sample rate (== target_fs when given).
     """
+    result = None
     if prefer_native:
         try:
             from salsa_tpu.native import read_wav_native
 
             result = read_wav_native(path)
-            if result is not None:
-                return result
         except Exception:
-            pass
-    return _read_wav_py(path)
+            result = None
+    if result is None:
+        result = _read_wav_py(path)
+    data, fs = result
+    if target_fs is not None and fs != target_fs:
+        data = resample(data, fs, target_fs)
+        fs = target_fs
+    return data, fs
 
 
 def _read_wav_py(path: str) -> tuple[np.ndarray, int]:

@@ -38,3 +38,43 @@ def test_read_wav_dispatches(tmp_path, rng):
     write_wav(p, x, 16000, bits=16)
     y, fs = read_wav(p)
     assert fs == 16000 and y.shape == (2, 500)
+
+
+def test_resample_preserves_tone(tmp_path):
+    """Polyphase resampling (librosa.load(sr=fs) parity role): a 440 Hz tone
+    resampled 16 kHz -> 24 kHz keeps its frequency and amplitude."""
+    from salsa_tpu.utils.audio_io import resample
+
+    t = np.arange(16000) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    y = resample(x, 16000, 24000)
+    assert y.shape == (1, 24000) and y.dtype == np.float32
+    spec = np.abs(np.fft.rfft(y[0]))
+    assert abs(np.argmax(spec) * 24000 / 24000 - 440) <= 1  # bin width 1 Hz
+    np.testing.assert_allclose(np.max(np.abs(y[0][1000:-1000])), 0.5, atol=0.01)
+
+
+def test_resample_round_trip(tmp_path, rng):
+    from salsa_tpu.utils.audio_io import resample
+
+    # band-limit below the 12 kHz round-trip Nyquist so the trip is lossless
+    x = rng.standard_normal((2, 24000)).astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    spec[:, 8000:] = 0
+    x = np.fft.irfft(spec, n=24000, axis=-1).astype(np.float32)
+    y = resample(resample(x, 24000, 48000), 48000, 24000)
+    np.testing.assert_allclose(y[:, 500:-500], x[:, 500:-500], atol=1e-2)
+    assert np.sqrt(np.mean((y - x)[:, 500:-500] ** 2)) < 2e-3  # rms error
+
+
+def test_read_wav_target_fs(tmp_path):
+    from salsa_tpu.utils.audio_io import read_wav, write_wav
+
+    t = np.arange(16000) / 16000
+    x = (0.25 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None]
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000, bits=16)
+    data, fs = read_wav(p, target_fs=24000)
+    assert fs == 24000 and data.shape == (1, 24000)
+    native, nfs = read_wav(p)
+    assert nfs == 16000 and native.shape[1] == 16000
