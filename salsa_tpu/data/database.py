@@ -112,6 +112,28 @@ class SplitData:
         return self.features[:, f0 : f0 + self.feature_chunk_len, :]
 
 
+def truncate_clips(split: SplitData, n_clips: int) -> SplitData:
+    """A shallow view of `split` restricted to its first n_clips clips (feature /
+    target storage shared; only the chunk/clip index tables are sliced). Backs the
+    data.val_fraction knob (reference seld.yml:22 -> Lightning limit_val_batches,
+    where one val batch == one clip)."""
+    import copy
+
+    n_clips = max(1, min(n_clips, len(split.unique_clip_names)))
+    n_chunks = int(np.sum(split.clip_chunk_counts[:n_clips]))
+    out = copy.copy(split)
+    out.feature_chunk_starts = split.feature_chunk_starts[:n_chunks]
+    out.label_chunk_starts = split.label_chunk_starts[:n_chunks]
+    out.clip_names = split.clip_names[:n_chunks]
+    out.unique_clip_names = split.unique_clip_names[:n_clips]
+    out.clip_chunk_counts = split.clip_chunk_counts[:n_clips]
+    out.clip_label_frames = split.clip_label_frames[:n_clips]
+    if isinstance(split, LazySplitData):
+        out.clip_of_chunk = split.clip_of_chunk[:n_chunks]
+        out.within_clip_start = split.within_clip_start[:n_chunks]
+    return out
+
+
 @dataclass
 class LazySplitData(SplitData):
     """Streaming variant: features stay on disk; only the requested chunk window is

@@ -579,7 +579,14 @@ class SeldTrainer:
     def validate(self) -> dict:
         tmp_dir = os.path.join(self.submission_dir, "_temp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        written = self.predict_split(self.val_data, tmp_dir)
+        val_data = self.val_data
+        val_fraction = float(self.cfg.data.get("val_fraction", 1.0))
+        if val_fraction < 1.0 and val_data.clip_chunk_counts is not None:
+            from salsa_tpu.data.database import truncate_clips
+
+            n = int(np.ceil(len(val_data.unique_clip_names) * val_fraction))
+            val_data = truncate_clips(val_data, n)
+        written = self.predict_split(val_data, tmp_dir)
         if getattr(self, "last_val_losses", None):
             logger.info(
                 "val losses: total %.4f (sed %.4f, doa %.4f)",

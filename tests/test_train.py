@@ -207,3 +207,25 @@ def test_predict_split_mixed_length_clips(tmp_path, rng):
     # val losses computed via the jitted training loss
     assert set(trainer.last_val_losses) == {"val_loss", "val_sed_loss", "val_doa_loss"}
     assert np.isfinite(trainer.last_val_losses["val_loss"])
+
+
+def test_val_fraction_truncates_clips(rng):
+    from salsa_tpu.data.database import SplitData, truncate_clips
+
+    split = SplitData(
+        features=rng.standard_normal((7, 100, 8)).astype(np.float32),
+        sed_targets=np.zeros((50, 3), np.float32),
+        doa_targets=np.zeros((50, 9), np.float32),
+        feature_chunk_starts=np.arange(6) * 10,
+        label_chunk_starts=np.arange(6) * 5,
+        clip_names=["a"] * 3 + ["b"] * 2 + ["c"],
+        feature_chunk_len=10, feature_chunk_hop=10, label_chunk_len=5,
+        label_chunk_hop=5, chunks_per_clip=3,
+        unique_clip_names=["a", "b", "c"],
+        clip_chunk_counts=np.array([3, 2, 1]),
+        clip_label_frames=np.array([15, 10, 5]),
+    )
+    t = truncate_clips(split, 2)
+    assert t.unique_clip_names == ["a", "b"]
+    assert len(t) == 5 and list(t.clip_chunk_counts) == [3, 2]
+    assert t.features is split.features  # storage shared, not copied
