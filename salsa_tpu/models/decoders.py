@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from salsa_tpu.ops.dropout import FastDropout
+
 from salsa_tpu.models.layers import (
     TransformerEncoderLayer,
     sinusoid_position_encoding,
@@ -67,10 +69,10 @@ class SeldDecoder(nn.Module):
             raise ValueError(f"unknown decoder type '{self.decoder_type}'")
 
         def head(h, name):
-            h = nn.Dropout(self.head_dropout, deterministic=not train)(h)
+            h = FastDropout(self.head_dropout)(h, deterministic=not train)
             h = nn.relu(nn.Dense(fc_size // 2, kernel_init=xavier_uniform,
                                  dtype=dtype, name=f"{name}_fc1")(h))
-            h = nn.Dropout(self.head_dropout, deterministic=not train)(h)
+            h = FastDropout(self.head_dropout)(h, deterministic=not train)
             return nn.Dense(self.n_classes, kernel_init=xavier_uniform,
                             dtype=dtype, name=f"{name}_fc2")(h)
 

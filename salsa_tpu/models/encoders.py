@@ -7,6 +7,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from salsa_tpu.ops.dropout import FastDropout
+
 from salsa_tpu.models.layers import DoubleConvBlock, ResNetTrunk
 
 
@@ -25,7 +27,7 @@ class PannResNet22(nn.Module):
         if dtype is not None:
             x = x.astype(dtype)
         x = DoubleConvBlock(64, pool_type="avg", dtype=dtype)(x, train)
-        x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+        x = FastDropout(self.p_dropout)(x, deterministic=not train)
         x = ResNetTrunk(layers=(2, 2, 2, 2), dtype=dtype)(x, train)
         return x
 

@@ -20,6 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from salsa_tpu.ops.dropout import FastDropout
+
 xavier_uniform = nn.initializers.glorot_uniform()
 Dtype = Any
 
@@ -81,7 +83,7 @@ class ResNetBasicBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                            dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        out = FastDropout(self.dropout_rate)(out, deterministic=not train)
         out = nn.Conv(self.features, (3, 3), use_bias=False, kernel_init=xavier_uniform,
                       dtype=self.dtype)(out)
         out = nn.BatchNorm(
@@ -149,11 +151,11 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout_rate,
             deterministic=not train,
         )(x, x)
-        attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
+        attn = FastDropout(self.dropout_rate)(attn, deterministic=not train)
         x = nn.LayerNorm()(x + attn)
         y = nn.Dense(self.dim_feedforward)(x)
         y = nn.relu(y)
-        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        y = FastDropout(self.dropout_rate)(y, deterministic=not train)
         y = nn.Dense(self.d_model)(y)
-        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        y = FastDropout(self.dropout_rate)(y, deterministic=not train)
         return nn.LayerNorm()(x + y)

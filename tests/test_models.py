@@ -205,3 +205,46 @@ def test_encoder_matches_reference_torch(rng):
     )
     j_out_nchw = np.transpose(j_out, (0, 3, 1, 2))
     np.testing.assert_allclose(j_out_nchw, t_out, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_dropout_semantics(rng):
+    """FastDropout (u32-threshold, mask-regenerating VJP): keep fraction ~ 1-rate,
+    survivors scaled by 1/(1-rate), backward mask identical to forward mask,
+    deterministic mode is identity."""
+    import jax
+    from salsa_tpu.ops.dropout import dropout
+
+    x = jnp.asarray(rng.standard_normal((512, 517)), jnp.float32)
+    key = jax.random.PRNGKey(42)
+    rate = 0.1
+    y = np.asarray(dropout(x, key, rate))
+    kept = y != 0
+    assert abs(kept.mean() - 0.9) < 0.01
+    np.testing.assert_allclose(y[kept], np.asarray(x)[kept] / 0.9, rtol=1e-6)
+
+    # backward regenerates the same mask: grad of sum == scale on kept, 0 on dropped
+    g = np.asarray(jax.grad(lambda xx: dropout(xx, key, rate).sum())(x))
+    np.testing.assert_allclose(g[kept], 1.0 / 0.9, rtol=1e-6)
+    assert np.all(g[~kept] == 0)
+
+    # same key -> same mask; different key -> different mask
+    y2 = np.asarray(dropout(x, key, rate))
+    np.testing.assert_array_equal(y, y2)
+    y3 = np.asarray(dropout(x, jax.random.PRNGKey(43), rate))
+    assert not np.array_equal(y, y3)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_fused_bidir_scan_matches_unfused(rng, cell):
+    """The single-scan bidirectional path is numerically identical to two
+    independent direction scans (same params, same outputs)."""
+    B, T, D, H = 3, 11, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    fused = RNNStack(cell=cell, hidden_size=H, num_layers=2, bidirectional=True,
+                     dropout_rate=0.0, fused=True)
+    unfused = RNNStack(cell=cell, hidden_size=H, num_layers=2, bidirectional=True,
+                       dropout_rate=0.0, fused=False)
+    v = fused.init(jax.random.PRNGKey(0), x, train=False)
+    a = np.asarray(fused.apply(v, x, train=False))
+    b = np.asarray(unfused.apply(v, x, train=False))
+    np.testing.assert_allclose(a, b, atol=1e-6)
