@@ -52,9 +52,10 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
 
         tta = None
         if use_tta:
-            from salsa_tpu.train.tta import ChannelSwapTTA
+            from salsa_tpu.train.tta import ChannelSwapTTA, tta_kind
 
-            tta = ChannelSwapTTA(cfg.data.audio_format, cfg.data.n_classes)
+            tta = ChannelSwapTTA(tta_kind(cfg.feature_type, cfg.data.audio_format),
+                                 cfg.data.n_classes)
             logger.info("[%s] TTA enabled: %d symmetry variants", split, len(tta))
 
         sub_dir = os.path.join(cfg.dir.output_dir.submission, split)

@@ -328,58 +328,63 @@ def swap_channel_mic(x, sed, doa, m, n_classes):
     return xf, sed, df
 
 
-class SwapChannelGccMic(JointTransform):
-    """MIC GCC symmetry: same array symmetries expressed on 6 GCC-lag channels.
+def swap_channel_gcc(x, sed, doa, m, n_classes):
+    """Deterministic MIC GCC symmetry, mask m = (swap_m2m3, swap_m1m4, swap_pairs);
+    the generators are mutually exclusive (if/elif — reference semantics), so at
+    most one applies, priority m[0] > m[1] > m[2].
 
     Feature layout (10ch): [M1..M4, xc12, xc13, xc14, xc23, xc24, xc34]; swapping two
     mics permutes the pair channels and mirrors the lag axis of pairs whose order
-    flips (reference transforms.py:555-618 — note the reference applies the three
-    generators with if/elif, i.e. at most one per call).
-    """
+    flips (reference transforms.py:555-618)."""
+    n = n_classes
+    xf = x.copy()
+    df = doa.copy()
+    if m[0]:  # swap M2 <-> M3
+        xf[1], xf[2] = x[2], x[1]
+        xf[4], xf[5] = x[5], x[4]          # xc12 <-> xc13
+        xf[7] = np.flip(x[7], axis=-1)      # xc23 time-reverses
+        xf[8], xf[9] = x[9], x[8]          # xc24 <-> xc34
+    elif m[1]:  # swap M1 <-> M4
+        cur = xf.copy()
+        xf[0], xf[3] = cur[3], cur[0]
+        xf[4] = np.flip(cur[8], axis=-1)
+        xf[5] = np.flip(cur[9], axis=-1)
+        xf[6] = np.flip(cur[6], axis=-1)
+        xf[8] = np.flip(cur[4], axis=-1)
+        xf[9] = np.flip(cur[5], axis=-1)
+    elif m[2]:  # swap M1<->M2 and M3<->M4
+        cur = xf.copy()
+        xf[0], xf[1] = cur[1], cur[0]
+        xf[2], xf[3] = cur[3], cur[2]
+        xf[4] = np.flip(cur[4], axis=-1)
+        xf[5] = cur[8]
+        xf[6] = cur[7]
+        xf[7] = cur[6]
+        xf[8] = cur[5]
+        xf[9] = np.flip(cur[9], axis=-1)
+    # Deviation from the reference: its feature path applies at most ONE generator
+    # (if/elif) while its label path applies every flagged generator (if/if/if),
+    # desynchronizing features and labels whenever m has two+ ones
+    # (transforms.py:574-614). We keep labels consistent with features.
+    if m[0]:
+        df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
+    elif m[1]:
+        tmp = -df[:, 0:n].copy()
+        df[:, 0:n] = -df[:, n : 2 * n]
+        df[:, n : 2 * n] = tmp
+    elif m[2]:
+        df[:, n : 2 * n] = -df[:, n : 2 * n]
+        df[:, 2 * n :] = -df[:, 2 * n :]
+    return xf, sed, df
+
+
+class SwapChannelGccMic(JointTransform):
+    """MIC GCC symmetry as a random joint transform (see swap_channel_gcc)."""
 
     def apply(self, x, sed, doa):
         assert x.shape[0] == 10, f"MIC GCC expects 10 channels, got {x.shape[0]}"
-        n = self.n_classes
         m = self.rng.integers(2, size=3)
-        xf = x.copy()
-        df = doa.copy()
-        if m[0]:  # swap M2 <-> M3
-            xf[1], xf[2] = x[2], x[1]
-            xf[4], xf[5] = x[5], x[4]          # xc12 <-> xc13
-            xf[7] = np.flip(x[7], axis=-1)      # xc23 time-reverses
-            xf[8], xf[9] = x[9], x[8]          # xc24 <-> xc34
-        elif m[1]:  # swap M1 <-> M4
-            cur = xf.copy()
-            xf[0], xf[3] = cur[3], cur[0]
-            xf[4] = np.flip(cur[8], axis=-1)
-            xf[5] = np.flip(cur[9], axis=-1)
-            xf[6] = np.flip(cur[6], axis=-1)
-            xf[8] = np.flip(cur[4], axis=-1)
-            xf[9] = np.flip(cur[5], axis=-1)
-        elif m[2]:  # swap M1<->M2 and M3<->M4
-            cur = xf.copy()
-            xf[0], xf[1] = cur[1], cur[0]
-            xf[2], xf[3] = cur[3], cur[2]
-            xf[4] = np.flip(cur[4], axis=-1)
-            xf[5] = cur[8]
-            xf[6] = cur[7]
-            xf[7] = cur[6]
-            xf[8] = cur[5]
-            xf[9] = np.flip(cur[9], axis=-1)
-        # Deviation from the reference: its feature path applies at most ONE generator
-        # (if/elif) while its label path applies every flagged generator (if/if/if),
-        # desynchronizing features and labels whenever m has two+ ones
-        # (transforms.py:574-614). We keep labels consistent with features.
-        if m[0]:
-            df[:, 0:n], df[:, n : 2 * n] = doa[:, n : 2 * n], doa[:, 0:n].copy()
-        elif m[1]:
-            tmp = -df[:, 0:n].copy()
-            df[:, 0:n] = -df[:, n : 2 * n]
-            df[:, n : 2 * n] = tmp
-        elif m[2]:
-            df[:, n : 2 * n] = -df[:, n : 2 * n]
-            df[:, 2 * n :] = -df[:, 2 * n :]
-        return xf, sed, df
+        return swap_channel_gcc(x, sed, doa, m, self.n_classes)
 
 
 def build_train_transforms(

@@ -122,3 +122,44 @@ def sed_doa_to_event_dict(
             ]
         out.setdefault(f, []).append(row)
     return out
+
+
+def classification_grid_labels(
+    event_dict: dict[int, list[list[float]]],
+    azimuths,
+    elevations,
+    n_classes: int = 14,
+    n_max_frames: int = 600,
+    joint: bool = True,
+) -> np.ndarray:
+    """Frame event dict -> one-hot DOA-grid classification labels.
+
+    Parity with reference output_format_dict_to_classification_labels
+    (metrics/dcase_utils.py:265-302): azimuth/elevation are clipped to the grid,
+    snapped by integer division with the grid resolution, and marked 1 at
+    [frame, class, azi_idx * n_elevations + ele_idx] (joint=True) or
+    [frame, class, azi_idx, ele_idx] (joint=False). Events are [class, azi, ele].
+    Used by classification-style SELD heads that predict a DOA grid instead of
+    regression targets.
+    """
+    azimuths = np.asarray(azimuths)
+    elevations = np.asarray(elevations)
+    n_azis, n_eles = len(azimuths), len(elevations)
+    azi_res = int(abs(azimuths[1] - azimuths[0]))
+    ele_res = int(abs(elevations[1] - elevations[0]))
+    shape = ((n_max_frames, n_classes, n_azis * n_eles) if joint
+             else (n_max_frames, n_classes, n_azis, n_eles))
+    labels = np.zeros(shape, dtype=np.float64)
+    for frame_idx, rows in event_dict.items():
+        if frame_idx > n_max_frames:  # reference keeps <= (frame n_max would IndexError
+            continue                  # there; real dicts never reach it)
+        for value in rows:
+            azi = np.clip(value[1], azimuths[0], azimuths[-1])
+            ele = np.clip(value[2], elevations[0], elevations[-1])
+            azi_idx = int(azi - azimuths[0]) // azi_res
+            ele_idx = int(ele - elevations[0]) // ele_res
+            if joint:
+                labels[frame_idx, int(value[0]), azi_idx * n_eles + ele_idx] = 1
+            else:
+                labels[frame_idx, int(value[0]), azi_idx, ele_idx] = 1
+    return labels

@@ -100,28 +100,76 @@ class ResNetBasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
-class ResNetTrunk(nn.Module):
-    """Four stages of basic blocks, [64,128,256,512], first stage stride 1."""
+class ResNetBottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (expansion 4), reference parity with
+    models/model_utils.py:372-426 — unused by any shipped reference model but part
+    of its model-zoo surface: pre-conv 2x2 avg-pool when stride==2, dropout p=0.1
+    after the 3x3, zero-initialized final BN, avgpool+1x1+BN shortcut."""
 
-    layers: Sequence[int] = (2, 2, 2, 2)
-    widths: Sequence[int] = (64, 128, 256, 512)
-    in_features: int = 64
+    features: int            # "planes"; output channels = 4 * features
+    stride: int = 1
+    use_shortcut_proj: bool = False
+    dropout_rate: float = 0.1
+    expansion: int = 4
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        identity = x
+        out = avg_pool_2x2(x) if self.stride == 2 else x
+        out = nn.Conv(self.features, (1, 1), use_bias=False,
+                      kernel_init=xavier_uniform, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                           dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), use_bias=False,
+                      kernel_init=xavier_uniform, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                           dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = FastDropout(self.dropout_rate)(out, deterministic=not train)
+        out = nn.Conv(self.expansion * self.features, (1, 1), use_bias=False,
+                      kernel_init=xavier_uniform, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                           scale_init=nn.initializers.zeros, dtype=self.dtype)(out)
+        if self.use_shortcut_proj:
+            if self.stride == 2:
+                identity = avg_pool_2x2(identity)
+            identity = nn.Conv(self.expansion * self.features, (1, 1), use_bias=False,
+                               kernel_init=xavier_uniform, dtype=self.dtype)(identity)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, dtype=self.dtype)(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetTrunk(nn.Module):
+    """Four stages of residual blocks, [64,128,256,512], first stage stride 1.
+    block='basic' (reference PannResNet22) or 'bottleneck' (expansion-4,
+    reference _ResnetBottleneck — its zoo's deeper-encoder variant)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    in_features: int = 64
+    block: str = "basic"  # 'basic' | 'bottleneck'
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        expansion = 1 if self.block == "basic" else 4
+        block_cls = ResNetBasicBlock if self.block == "basic" else ResNetBottleneckBlock
         in_feats = self.in_features
         for stage, (n_blocks, width) in enumerate(zip(self.layers, self.widths)):
             stride = 1 if stage == 0 else 2
             for b in range(n_blocks):
                 first = b == 0
-                x = ResNetBasicBlock(
+                x = block_cls(
                     features=width,
                     stride=stride if first else 1,
-                    use_shortcut_proj=first and (stride != 1 or in_feats != width),
+                    use_shortcut_proj=first and (stride != 1
+                                                 or in_feats != width * expansion),
                     dtype=self.dtype,
                 )(x, train)
-            in_feats = width
+            in_feats = width * expansion
         return x
 
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from salsa_tpu.data.transforms import (
     swap_channel_foa,
+    swap_channel_gcc,
     swap_channel_mic,
 )
 
@@ -24,13 +25,23 @@ from salsa_tpu.data.transforms import (
 _KIND_FNS = {
     "foa": (swap_channel_foa, 4, 7),
     "mic": (swap_channel_mic, 3, 7),
+    "gcc": (swap_channel_gcc, 3, 10),
 }
+
+
+def tta_kind(feature_type: str, audio_format: str) -> str:
+    """Map a (feature_type, audio_format) stream to its TTA symmetry group."""
+    if feature_type.endswith("gcc"):
+        return "gcc"
+    return audio_format
 
 
 class ChannelSwapTTA:
     """Enumerates all symmetry variants for a (feature_type, audio_format) stream.
 
-    kind: 'foa' (tf-map FOA: 16 variants) | 'mic' (tf-map MIC: 8 variants).
+    kind: 'foa' (tf-map FOA: 16 variants) | 'mic' (tf-map MIC: 8 variants) |
+    'gcc' (GCC-lag MIC: 4 variants — its generators are mutually exclusive
+    (reference if/elif semantics), so the group is {identity, g0, g1, g2}).
     """
 
     def __init__(self, kind: str, n_classes: int):
@@ -39,7 +50,12 @@ class ChannelSwapTTA:
         self.kind = kind
         self.n_classes = n_classes
         self.fn, n_bits, self.n_channels = _KIND_FNS[kind]
-        self.masks = [np.array(m) for m in itertools.product((0, 1), repeat=n_bits)]
+        if kind == "gcc":
+            self.masks = [np.array(m) for m in
+                          ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))]
+        else:
+            self.masks = [np.array(m)
+                          for m in itertools.product((0, 1), repeat=n_bits)]
         self._label_mats = [self._label_matrix(m) for m in self.masks]
 
     def _label_matrix(self, m) -> np.ndarray:

@@ -161,3 +161,24 @@ def test_sed_doa_to_event_dict_xyz():
     d = sed_doa_to_event_dict(sed, doa, n_classes=3)
     assert list(d.keys()) == [2]
     assert d[2] == [[1, 0.0, 1.0, 0.0]]
+
+
+def test_classification_grid_labels_match_reference(rng):
+    """classification_grid_labels vs the imported reference
+    output_format_dict_to_classification_labels (dcase_utils.py:265-302)."""
+    from salsa_tpu.metrics.dcase_io import classification_grid_labels
+
+    _, _, du = _load_reference_scorers()
+    azimuths = list(range(-180, 180, 20))
+    elevations = list(range(-40, 60, 20))
+    events = {}
+    for f in range(0, 80, 3):
+        events[f] = [[int(rng.integers(0, 6)), float(rng.integers(-200, 200)),
+                      float(rng.integers(-60, 70))] for _ in range(int(rng.integers(1, 3)))]
+    for joint in (True, False):
+        got = classification_grid_labels(events, azimuths, elevations, n_classes=6,
+                                         n_max_frames=100, joint=joint)
+        want = du.output_format_dict_to_classification_labels(
+            events, azimuths, elevations, n_classes=6, n_max_frames_per_file=100,
+            joint=joint)
+        np.testing.assert_array_equal(got, want)

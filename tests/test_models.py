@@ -248,3 +248,56 @@ def test_fused_bidir_scan_matches_unfused(rng, cell):
     a = np.asarray(fused.apply(v, x, train=False))
     b = np.asarray(unfused.apply(v, x, train=False))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_bottleneck_block_matches_reference_torch(rng):
+    """ResNetBottleneckBlock vs the reference's (unused-by-any-model) torch
+    _ResnetBottleneck (model_utils.py:372-426): weight transplant, eval forward."""
+    ref = load_reference_models()
+    if ref is None:
+        pytest.skip("reference not mounted")
+    import flax
+    from salsa_tpu.models.layers import ResNetBottleneckBlock
+
+    planes = 16
+    t_blk = ref.model_utils._ResnetBottleneck(inplanes=4 * planes, planes=planes)
+    t_blk.eval()
+    with torch.no_grad():
+        for p in t_blk.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+        for m in t_blk.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.02)
+                m.running_var.copy_(torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+    j_blk = ResNetBottleneckBlock(features=planes)
+    x = rng.standard_normal((2, 4 * planes, 8, 6)).astype(np.float32)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = j_blk.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    params = flax.core.unfreeze(variables["params"])
+    stats = flax.core.unfreeze(variables["batch_stats"])
+    for i, (conv, bn) in enumerate([(t_blk.conv1, t_blk.bn1), (t_blk.conv2, t_blk.bn2),
+                                    (t_blk.conv3, t_blk.bn3)]):
+        w = conv.weight.detach().numpy()
+        params[f"Conv_{i}"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        params[f"BatchNorm_{i}"]["scale"] = jnp.asarray(bn.weight.detach().numpy())
+        params[f"BatchNorm_{i}"]["bias"] = jnp.asarray(bn.bias.detach().numpy())
+        stats[f"BatchNorm_{i}"]["mean"] = jnp.asarray(bn.running_mean.numpy())
+        stats[f"BatchNorm_{i}"]["var"] = jnp.asarray(bn.running_var.numpy())
+
+    with torch.no_grad():
+        t_out = t_blk(torch.from_numpy(x)).numpy()
+    j_out = np.asarray(j_blk.apply({"params": params, "batch_stats": stats},
+                                   x_nhwc, train=False))
+    np.testing.assert_allclose(np.transpose(j_out, (0, 3, 1, 2)), t_out,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_bottleneck_trunk_shapes(rng):
+    from salsa_tpu.models.layers import ResNetTrunk
+
+    trunk = ResNetTrunk(layers=(1, 1, 1, 1), block="bottleneck")
+    x = jnp.asarray(rng.standard_normal((1, 32, 16, 64)), jnp.float32)
+    v = trunk.init(jax.random.PRNGKey(0), x, train=False)
+    out = trunk.apply(v, x, train=False)
+    assert out.shape == (1, 4, 2, 2048)  # expansion 4 on the 512 stage

@@ -37,7 +37,7 @@ def test_foa_tta_roundtrip(rng):
 
 
 def test_label_matrices_are_signed_permutations():
-    for kind, n_var in [("foa", 16), ("mic", 8)]:
+    for kind, n_var in [("foa", 16), ("mic", 8), ("gcc", 4)]:
         tta = ChannelSwapTTA(kind, 4)
         assert len(tta) == n_var
         for L in tta._label_mats:
@@ -61,3 +61,29 @@ def test_mic_tta_involution(rng):
         _, _, doa_t = swap_channel_mic(x, sed, doa, m, n)
         back = tta.inverse_doa(doa_t, i)
         np.testing.assert_allclose(back, doa, atol=1e-6)
+
+
+def test_gcc_tta_roundtrip(rng):
+    """GCC TTA (4 mutually-exclusive variants): inverse label map returns every
+    variant's prediction to the identity frame through a gt round trip."""
+    from salsa_tpu.data.transforms import swap_channel_gcc
+
+    n = 3
+    tta = ChannelSwapTTA("gcc", n)
+    assert len(tta) == 4
+    doa = rng.standard_normal((5, 3 * n)).astype(np.float32)
+    sed = np.zeros((5, n), np.float32)
+    x = rng.standard_normal((10, 4, 4)).astype(np.float32)
+    for i, m in enumerate(tta.masks):
+        _, _, doa_t = swap_channel_gcc(x, sed, doa, m, n)
+        back = tta.inverse_doa(doa_t, i)
+        np.testing.assert_allclose(back, doa, atol=1e-6, err_msg=f"variant {i}")
+
+
+def test_tta_kind_mapping():
+    from salsa_tpu.train.tta import tta_kind
+
+    assert tta_kind("salsa", "foa") == "foa"
+    assert tta_kind("salsa", "mic") == "mic"
+    assert tta_kind("linspecgcc", "mic") == "gcc"
+    assert tta_kind("melspecgcc", "mic") == "gcc"

@@ -199,3 +199,41 @@ def test_device_resident_training(rng):
     for _ in range(3):
         m1 = trainer.train_epoch(0)
     assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
+
+
+@pytest.mark.slow
+def test_batchnorm_stats_global_across_shards(rng):
+    """BN batch stats computed inside the sharded train step must be GLOBAL-batch
+    statistics: an 8-device data-parallel step and a single-device step produce
+    the same updated batch_stats (VERDICT r01 weak #8)."""
+    from salsa_tpu.parallel.mesh import replicate
+    from salsa_tpu.train.state import create_train_state, make_optimizer
+
+    model = small_model()
+    B = 8
+    x = rng.standard_normal((B, 7, 64, 32)).astype(np.float32)
+    sed = (rng.random((B, 8, 3)) < 0.4).astype(np.float32)
+    doa = (rng.standard_normal((B, 8, 9)) * 0.5).astype(np.float32)
+    tx = make_optimizer(total_steps=10)
+    rngk = jax.random.PRNGKey(0)
+    step = make_train_step(model, 3, (0.3, 0.7), "reg_xyz", 2.0)
+
+    # single device (mesh of one)
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    s1 = create_train_state(model, jnp.zeros((1, 7, 64, 32)), tx, seed=0)
+    s1 = s1.replace(params=replicate(mesh1, s1.params),
+                    batch_stats=replicate(mesh1, s1.batch_stats),
+                    opt_state=replicate(mesh1, s1.opt_state))
+    s1, _ = step(s1, *shard_batch(mesh1, (x, sed, doa)), rngk)
+
+    # 8-device data parallel
+    mesh8 = make_mesh(n_data=len(jax.devices()))
+    s8 = create_train_state(model, jnp.zeros((1, 7, 64, 32)), tx, seed=0)
+    s8 = s8.replace(params=replicate(mesh8, s8.params),
+                    batch_stats=replicate(mesh8, s8.batch_stats),
+                    opt_state=replicate(mesh8, s8.opt_state))
+    s8, _ = step(s8, *shard_batch(mesh8, (x, sed, doa)), rngk)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree.leaves(jax.device_get(s8.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
