@@ -38,7 +38,8 @@ def main():
     fs = 24000
     clip_seconds = 60.0
     n_samples = int(fs * clip_seconds)
-    batch = 8  # clips per device dispatch (amortizes host->device dispatch latency)
+    batch = 32  # clips per device dispatch — per-chip THROUGHPUT figure
+    # (batch 8 reported 10.8k x in r01; 32 amortizes dispatch further, same metric)
 
     eig_method = "pallas" if jax.default_backend() != "cpu" else "power"
     params = SalsaParams(fs=fs, n_fft=512, hop_length=300, fmax_doa=9000.0,
