@@ -116,3 +116,72 @@ def test_predict_cli_direct_from_wavs(workspace):
                   exp_group_dir=str(tmp / "outputs"), exp_suffix="_x", batch_size=2)
     csvs = [f for f in os.listdir(out) if f.endswith(".csv")]
     assert len(csvs) == 4
+
+
+@pytest.mark.slow
+def test_eval_mode_cli(workspace, tmp_path):
+    """mode='eval' (reference train.py:93-94): train on the full dev split for
+    training.best_epoch epochs, then infer on the unlabeled eval split — submission
+    CSVs written, no scoring attempted (metadata_eval absent)."""
+    tmp, data_cfg, meta, data_dir = workspace
+    import numpy as np
+    import yaml as _yaml
+    from salsa_tpu.utils.audio_io import write_wav as _ww
+
+    # eval wavs (no ground truth) + dev.csv / eval.csv split lists
+    eval_dir = os.path.join(data_dir, "mic_eval")
+    os.makedirs(eval_dir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    n = int(6.4 * FS)
+    for name in ["emix1", "emix2"]:
+        w = 0.05 * rng.standard_normal((4, n)).astype(np.float32)
+        _ww(os.path.join(eval_dir, name + ".wav"), w, FS, bits=16)
+    with open(os.path.join(meta, "dev.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(f"clip{i}" for i in range(4)))
+    # eval.csv lives one level above split_meta_dir (reference layout)
+    with open(os.path.join(os.path.dirname(meta.rstrip("/")), "eval.csv"), "w") as f:
+        f.write("filename\nemix1\nemix2\n")
+
+    from salsa_tpu.cli.extract import extract_features
+    feature_dir = extract_features(data_cfg, feature_type="salsa_lite",
+                                   task="feature_scaler", keep_existing=True)
+    assert os.path.isdir(os.path.join(feature_dir, "mic_eval"))
+
+    feature_dir2 = os.path.join(
+        str(tmp / "features"), "salsa_lite", "mic",
+        f"{FS}fs_256nfft_400nhop_2000fmaxdoa")
+    exp_cfg = {
+        "name": "t", "feature_root_dir": feature_dir2, "feature_type": "salsa_lite",
+        "gt_meta_root_dir": data_dir, "split_meta_dir": meta, "seed": 7,
+        "mode": "eval",
+        "data": {"fs": FS, "n_fft": 256, "hop_len": 400, "audio_format": "mic",
+                 "label_rate": 10, "train_chunk_len_s": 3.2,
+                 "train_chunk_hop_len_s": 1.6, "test_chunk_len_s": 6.4,
+                 "test_chunk_hop_len_s": 6.5, "n_classes": 3,
+                 "output_format": "reg_xyz", "max_file_len_s": 6.4},
+        "model": {
+            "encoder": {"name": "PannResNet22", "n_input_channels": 7},
+            "decoder": {"name": "SeldDecoder", "decoder_type": "gru",
+                        "decoder_size": 16, "freq_pool": "avg"},
+        },
+        "training": {"train_batch_size": 4, "optimizer": "adam", "best_epoch": 1,
+                     "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
+                                      "lrs": [1e-3, 1e-3, 1e-3, 3e-4],
+                                      "moms": [0.9, 0.9, 0.9, 0.9]},
+                     "loss_weight": [0.3, 0.7], "max_epochs": 5, "val_interval": 1},
+        "sed_threshold": 0.3, "doa_threshold": 20, "eval_version": "2021",
+    }
+    cfg_path = tmp_path / "exp_eval.yml"
+    cfg_path.write_text(_yaml.safe_dump(exp_cfg))
+
+    from salsa_tpu.cli.train import train
+    train(str(cfg_path), exp_group_dir=str(tmp / "outputs"), exp_suffix="_ev")
+
+    from salsa_tpu.cli.infer import inference
+    results = inference(str(cfg_path), exp_group_dir=str(tmp / "outputs"),
+                        exp_suffix="_ev", splits=["eval"])
+    sub_dir = os.path.join(str(tmp / "outputs"), "eval", "mic", "salsa_lite",
+                           "exp_eval_ev", "outputs", "submissions", "eval")
+    csvs = sorted(os.listdir(sub_dir))
+    assert csvs == ["emix1.csv", "emix2.csv"]
+    assert results.get("eval") in (None, {}) or "seld_error" not in results["eval"]
