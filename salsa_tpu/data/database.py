@@ -131,6 +131,7 @@ def truncate_clips(split: SplitData, n_clips: int) -> SplitData:
     if isinstance(split, LazySplitData):
         out.clip_of_chunk = split.clip_of_chunk[:n_chunks]
         out.within_clip_start = split.within_clip_start[:n_chunks]
+        out.clip_feature_frames = split.clip_feature_frames[:n_clips]
     return out
 
 
@@ -147,6 +148,7 @@ class LazySplitData(SplitData):
     clip_paths: list[str] = field(default_factory=list)      # one per clip (ordered)
     clip_of_chunk: np.ndarray | None = None                  # chunk -> clip index
     within_clip_start: np.ndarray | None = None              # chunk -> frame offset
+    clip_feature_frames: np.ndarray | None = None            # clip -> trimmed length
     normalize_fn: object = None                              # feature -> feature
     _handles: dict = field(default_factory=dict, repr=False)
 
@@ -164,12 +166,20 @@ class LazySplitData(SplitData):
             hf = h5py.File(path, "r")
             self._handles[path] = hf
         f0 = int(self.within_clip_start[index])
-        window = hf["feature"][:, f0 : f0 + self.feature_chunk_len, :]
+        # respect the clip's TRIMMED length (load_split cuts to a label-rate
+        # multiple and to max_file_len before chunking) — frames past it belong
+        # to the pad region, not to the raw file
+        limit = int(self.clip_feature_frames[int(self.clip_of_chunk[index])]) - f0
+        n_read = min(self.feature_chunk_len, max(limit, 0))
+        window = hf["feature"][:, f0 : f0 + n_read, :]
+        window = self.normalize_fn(window)
         if window.shape[1] < self.feature_chunk_len:
-            # clip shorter than the chunk window (see load_split short-clip pad)
+            # clip shorter than the chunk window: zero-pad AFTER normalization so
+            # the pad region matches the preload path's true zeros (load_split
+            # normalizes the clip first, then pads)
             window = np.pad(
                 window, ((0, 0), (0, self.feature_chunk_len - window.shape[1]), (0, 0)))
-        return self.normalize_fn(window)
+        return window
 
 
 class SeldDatabase:
@@ -258,7 +268,7 @@ class SeldDatabase:
         features, seds, doas, names_per_chunk = [], [], [], []
         f_starts, l_starts = [], []
         clip_of_chunk, within_clip_start, clip_paths = [], [], []
-        clip_chunk_counts, clip_label_frames = [], []
+        clip_chunk_counts, clip_label_frames, lazy_clip_frames = [], [], []
         f_ptr = l_ptr = 0
         chunks_per_clip = 0
         feat_shape = None
@@ -277,6 +287,7 @@ class SeldDatabase:
             n_frames -= n_frames % self.label_upsample
             n_label_frames = n_frames // self.label_upsample
             true_label_frames = n_label_frames
+            trimmed_feat_frames = n_frames  # before any short-clip padding
 
             gt_path = self.gt_meta_path(split, name)
             if gt_path and os.path.isfile(gt_path):
@@ -304,6 +315,7 @@ class SeldDatabase:
             if not preload:
                 clip_of_chunk.extend([clip_idx] * len(starts_f))
                 within_clip_start.extend(s - f_ptr for s in starts_f)
+                lazy_clip_frames.append(trimmed_feat_frames)
             f_ptr += n_frames
             l_ptr += n_label_frames
             chunks_per_clip = max(chunks_per_clip, len(starts_f))
@@ -340,6 +352,7 @@ class SeldDatabase:
             clip_paths=clip_paths,
             clip_of_chunk=np.asarray(clip_of_chunk, dtype=np.int64),
             within_clip_start=np.asarray(within_clip_start, dtype=np.int64),
+            clip_feature_frames=np.asarray(lazy_clip_frames, dtype=np.int64),
             normalize_fn=self.normalize,
             **common,
         )

@@ -151,8 +151,8 @@ def classification_grid_labels(
              else (n_max_frames, n_classes, n_azis, n_eles))
     labels = np.zeros(shape, dtype=np.float64)
     for frame_idx, rows in event_dict.items():
-        if frame_idx > n_max_frames:  # reference keeps <= (frame n_max would IndexError
-            continue                  # there; real dicts never reach it)
+        if frame_idx >= n_max_frames:  # valid rows are 0..n_max-1 (the reference's
+            continue                   # `<=` guard IndexErrors at exactly n_max)
         for value in rows:
             azi = np.clip(value[1], azimuths[0], azimuths[-1])
             ele = np.clip(value[2], elevations[0], elevations[-1])

@@ -10,11 +10,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross entropy with logits (torch F.binary_cross_entropy_with_logits)."""
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
+                    row_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean binary cross entropy with logits (torch F.binary_cross_entropy_with_logits).
+    With row_weights (leading-dim weights, e.g. a 0/1 validity mask over padded
+    batch rows), the mean runs over weighted rows only."""
     neg_abs = -jnp.abs(logits)
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(neg_abs))
-    return jnp.mean(loss)
+    if row_weights is None:
+        return jnp.mean(loss)
+    w = row_weights.reshape((-1,) + (1,) * (loss.ndim - 1))
+    per_row = loss.size // loss.shape[0]
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(row_weights) * per_row, 1e-8)
 
 
 def masked_reg_loss(pred, target, mask, loss_type: str = "MAE"):

@@ -175,14 +175,27 @@ def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: floa
 def make_val_loss_step(n_classes: int, loss_weight):
     """Jitted validation losses reusing the training loss functions themselves
     (train/losses.py) — one set of formulas, no host-NumPy duplicate to drift.
-    Prediction frames are trimmed to the target length before scoring."""
+    Prediction frames are trimmed to the target length; rows beyond n_real
+    (pad_to_batch duplicates) are masked out of both loss terms."""
+    from salsa_tpu.train.losses import bce_with_logits, masked_reg_loss
 
-    def val_loss(event_logit, doa_pred, sed_gt, doa_gt):
+    def val_loss(event_logit, doa_pred, sed_gt, doa_gt, n_real):
         n = min(event_logit.shape[1], sed_gt.shape[1])
-        pred = {"event_frame_logit": event_logit[:, :n],
-                "doa_frame_output": doa_pred[:, :n]}
-        target = {"event_frame_gt": sed_gt[:, :n], "doa_frame_gt": doa_gt[:, :n]}
-        return seld_loss(pred, target, n_classes, loss_weight)
+        logit, tgt = event_logit[:, :n], sed_gt[:, :n]
+        row = (jnp.arange(logit.shape[0]) < n_real).astype(jnp.float32)
+        sed_l = bce_with_logits(logit, tgt, row_weights=row)
+        # zeroing padded rows' SED mask removes them from the masked-MAE exactly
+        mask = tgt * row[:, None, None]
+        doa_l = sum(
+            masked_reg_loss(
+                doa_pred[:, :n, i * n_classes : (i + 1) * n_classes],
+                doa_gt[:, :n, i * n_classes : (i + 1) * n_classes],
+                mask,
+            )
+            for i in range(3)
+        )
+        total = loss_weight[0] * sed_l + loss_weight[1] * doa_l
+        return total, sed_l, doa_l
 
     return jax.jit(val_loss)
 
@@ -229,6 +242,16 @@ class SeldTrainer:
         self.val_dataset = SeldChunkDataset(val_data) if val_data is not None else None
 
         self.batch_size = cfg.training.train_batch_size
+        if self._n_proc > 1:
+            if self.batch_size % self._n_proc:
+                raise ValueError(
+                    f"train_batch_size {self.batch_size} not divisible by "
+                    f"{self._n_proc} processes")
+            if len(self.train_dataset) < self.batch_size:
+                raise ValueError(
+                    f"dataset ({len(self.train_dataset)} chunks) smaller than the "
+                    f"global batch ({self.batch_size}): multi-host training drops "
+                    "partial batches, so no step could run")
         self.max_epochs = cfg.training.max_epochs
         train_fraction = cfg.data.get("train_fraction", 1.0)
         self.steps_per_epoch = max(
@@ -323,6 +346,8 @@ class SeldTrainer:
 
         self.tb = None
         tb_dir = cfg.get("dir", {}).get("tb_dir") if hasattr(cfg, "get") else None
+        if tb_dir and self._pid != 0:
+            tb_dir = None  # multi-host: only process 0 writes event files
         if tb_dir:
             try:
                 from tensorboardX import SummaryWriter
@@ -402,8 +427,9 @@ class SeldTrainer:
                 idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
                 if self._n_proc > 1:
                     # each process contributes only its own batch columns
-                    per = self.batch_size // self._n_proc
-                    local = idx[:, self._pid * per : (self._pid + 1) * per]
+                    from salsa_tpu.parallel.distributed import local_batch_slice
+
+                    local = idx[:, local_batch_slice(self.batch_size)]
                     f_st = jax.make_array_from_process_local_data(
                         self._starts_sharding, self._f_starts[local].astype(np.int32))
                     l_st = jax.make_array_from_process_local_data(
@@ -498,12 +524,14 @@ class SeldTrainer:
                 )
                 if np.any(sed_gt) and self.output_format == "reg_xyz":
                     tot, sl, dl = self._val_loss_step(
-                        event_logit, doa, jnp.asarray(sed_gt), jnp.asarray(doa_gt)
+                        event_logit, doa, jnp.asarray(sed_gt), jnp.asarray(doa_gt),
+                        n_real,
                     )
-                    loss_sums["val_loss"] = loss_sums.get("val_loss", 0.0) + float(tot)
-                    loss_sums["val_sed_loss"] = loss_sums.get("val_sed_loss", 0.0) + float(sl)
-                    loss_sums["val_doa_loss"] = loss_sums.get("val_doa_loss", 0.0) + float(dl)
-                    loss_sums["_n"] = loss_sums.get("_n", 0) + 1
+                    # weight by real rows so short tail batches don't skew the mean
+                    loss_sums["val_loss"] = loss_sums.get("val_loss", 0.0) + float(tot) * n_real
+                    loss_sums["val_sed_loss"] = loss_sums.get("val_sed_loss", 0.0) + float(sl) * n_real
+                    loss_sums["val_doa_loss"] = loss_sums.get("val_doa_loss", 0.0) + float(dl) * n_real
+                    loss_sums["_n"] = loss_sums.get("_n", 0) + n_real
             else:
                 ev_acc = doa_acc = None
                 for i in range(len(tta)):

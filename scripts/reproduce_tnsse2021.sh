@@ -49,7 +49,7 @@ exp["gt_meta_root_dir"] = data_root
 exp["data"]["audio_format"] = fmt
 exp["training"]["device_data"] = True      # on-chip resident split (fastest mode)
 exp["training"]["device_augment"] = True   # SW+FS augmentation in-graph
-yaml.safe_dump(exp, open(f"{work}/exp.yml", "w"))
+yaml.safe_dump(exp, open(f"{work}/seld.yml", "w"))
 PY
 
 # ---- 2. extract SALSA features (dev + eval splits) + scaler ----
@@ -57,11 +57,11 @@ python -m salsa_tpu.cli.extract --data-config "$WORK/data.yml" \
     --feature-type salsa --keep-existing
 
 # ---- 3. 50-epoch train (canonical TNSSE2021 folds are built in) ----
-python -m salsa_tpu.cli.train --exp-config "$WORK/exp.yml" \
+python -m salsa_tpu.cli.train --exp-config "$WORK/seld.yml" \
     --exp-group-dir "$OUTPUT" --exp-suffix "$SUFFIX"
 
 # ---- 4. inference on the test fold (best-valSeld checkpoint) ----
-python -m salsa_tpu.cli.infer --exp-config "$WORK/exp.yml" \
+python -m salsa_tpu.cli.infer --exp-config "$WORK/seld.yml" \
     --exp-group-dir "$OUTPUT" --exp-suffix "$SUFFIX" --splits test
 
 # ---- 5. standalone evaluation + acceptance check ----

@@ -308,3 +308,35 @@ def test_lazy_split_matches_preloaded(tiny_db):
     np.testing.assert_allclose(xl, xp, atol=1e-6)
     np.testing.assert_array_equal(sl, sp)
     assert np_ == nl
+
+
+def test_lazy_streaming_matches_preload_with_short_clip(tmp_path, rng):
+    """Streaming (LazySplitData) and preloaded splits must serve IDENTICAL chunk
+    features — including zero-padded short clips, where the pad must be applied
+    after normalization in both paths."""
+    from salsa_tpu.data.feature_store import FeatureStore, StreamingScaler
+
+    store = FeatureStore(str(tmp_path / "feat"), "foa")
+    scaler = StreamingScaler(4)
+    for name, n in [("full", 480), ("short", 100)]:
+        feat = rng.standard_normal((7, n, 20)).astype(np.float32) * 2 + 0.5
+        store.write_clip("dev", name, feat)
+        scaler.update(feat)
+    store.write_scaler(*scaler.finalize())
+    (tmp_path / "meta").mkdir()
+    (tmp_path / "meta" / "val.csv").write_text("filename\nfull\nshort\n")
+
+    db = SeldDatabase(
+        feature_root_dir=str(tmp_path / "feat"), gt_meta_root_dir=None,
+        audio_format="foa", n_classes=4, train_chunk_len_s=2.0,
+        train_chunk_hop_len_s=1.0, test_chunk_len_s=2.0, test_chunk_hop_len_s=1.0,
+        max_file_len_s=6.0,
+    )
+    pre = db.load_split("val", split_meta_dir=str(tmp_path / "meta"),
+                        stage="inference", preload=True)
+    lazy = db.load_split("val", split_meta_dir=str(tmp_path / "meta"),
+                         stage="inference", preload=False)
+    assert len(pre) == len(lazy)
+    for i in range(len(pre)):
+        np.testing.assert_allclose(lazy.get_feature_chunk(i),
+                                   pre.get_feature_chunk(i), atol=1e-6, err_msg=str(i))

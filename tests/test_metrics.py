@@ -175,6 +175,12 @@ def test_classification_grid_labels_match_reference(rng):
     for f in range(0, 80, 3):
         events[f] = [[int(rng.integers(0, 6)), float(rng.integers(-200, 200)),
                       float(rng.integers(-60, 70))] for _ in range(int(rng.integers(1, 3)))]
+    # boundary: a frame at exactly n_max_frames must be ignored, not crash
+    # (the reference's <= guard IndexErrors there — intentional deviation)
+    from salsa_tpu.metrics.dcase_io import classification_grid_labels as _cgl
+    edge = _cgl({100: [[0, 0.0, 0.0]]}, azimuths, elevations, n_classes=6,
+                n_max_frames=100)
+    assert edge.sum() == 0
     for joint in (True, False):
         got = classification_grid_labels(events, azimuths, elevations, n_classes=6,
                                          n_max_frames=100, joint=joint)

@@ -45,7 +45,7 @@ def test_two_process_training_matches_single_process():
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
