@@ -34,6 +34,11 @@ inference:
 WAV_DIR=/data/dcase2021/task3/foa_eval
 PRED_DIR=./outputs/direct_predictions
 
+.PHONY: import-ckpt
+TORCH_CKPT=/path/to/reference.ckpt
+import-ckpt:
+	python -m salsa_tpu.cli.import_ckpt --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --torch-ckpt $(TORCH_CKPT)
+
 .PHONY: predict
 predict:
 	python -m salsa_tpu.cli.predict --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --wav-dir $(WAV_DIR) --out-dir $(PRED_DIR)
