@@ -172,7 +172,7 @@ def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: floa
     return jax.jit(eval_step)
 
 
-def make_val_loss_step(n_classes: int, loss_weight):
+def make_val_loss_step(n_classes: int, loss_weight, output_format: str = "reg_xyz"):
     """Jitted validation losses reusing the training loss functions themselves
     (train/losses.py) — one set of formulas, no host-NumPy duplicate to drift.
     Prediction frames are trimmed to the target length; rows beyond n_real
@@ -183,9 +183,15 @@ def make_val_loss_step(n_classes: int, loss_weight):
         n = min(event_logit.shape[1], sed_gt.shape[1])
         logit, tgt = event_logit[:, :n], sed_gt[:, :n]
         row = (jnp.arange(logit.shape[0]) < n_real).astype(jnp.float32)
-        sed_l = bce_with_logits(logit, tgt, row_weights=row)
-        # zeroing padded rows' SED mask removes them from the masked-MAE exactly
+        # zeroing padded rows' SED mask removes them from the masked losses exactly
         mask = tgt * row[:, None, None]
+        if output_format == "accdoa":
+            sq = (doa_pred[:, :n] - doa_gt[:, :n]) ** 2
+            xyz = (sq[:, :, :n_classes] + sq[:, :, n_classes : 2 * n_classes]
+                   + sq[:, :, 2 * n_classes :])
+            doa_l = jnp.sum(xyz * mask) / jnp.maximum(n_real * n, 1)
+            return doa_l, jnp.zeros_like(doa_l), doa_l
+        sed_l = bce_with_logits(logit, tgt, row_weights=row)
         doa_l = sum(
             masked_reg_loss(
                 doa_pred[:, :n, i * n_classes : (i + 1) * n_classes],
@@ -341,7 +347,8 @@ class SeldTrainer:
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
-        self._val_loss_step = make_val_loss_step(self.n_classes, loss_weight)
+        self._val_loss_step = make_val_loss_step(self.n_classes, loss_weight,
+                                                 self.output_format)
         self._dropout_rng = dropout_rng(seed)
 
         self.tb = None
@@ -522,7 +529,7 @@ class SeldTrainer:
                 event_prob, doa, event_logit = self._eval_step(
                     eval_params, eval_stats, jnp.asarray(x)
                 )
-                if np.any(sed_gt) and self.output_format == "reg_xyz":
+                if np.any(sed_gt):
                     tot, sl, dl = self._val_loss_step(
                         event_logit, doa, jnp.asarray(sed_gt), jnp.asarray(doa_gt),
                         n_real,
