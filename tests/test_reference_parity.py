@@ -184,3 +184,72 @@ def test_chunk_starts_match_imported_reference(ref_db):
                                hop // downsample, offset=17)
             assert list(got) == list(want), (n_frames, chunk, hop, downsample)
             assert want_ptr == 17 + n_frames // downsample
+
+
+# ---------------------------------------------------------------------------
+# label-coupled channel-swap augmentations vs the imported reference transforms
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_tf():
+    m = load_reference_module("utilities.transforms")
+    if m is None:
+        pytest.skip("reference repo not available")
+    return m
+
+
+def _draw_mask(seed, size):
+    np.random.seed(seed)
+    return np.random.randint(2, size=(size,))
+
+
+def test_foa_swap_matches_imported_reference(rng, ref_tf):
+    from salsa_tpu.data.transforms import swap_channel_foa
+
+    t = ref_tf.TfmapRandomSwapChannelFoa(n_classes=4)
+    for seed in range(16):
+        x = rng.standard_normal((7, 6, 5)).astype(np.float32)
+        sed = (rng.random((9, 4)) < 0.4).astype(np.float32)
+        doa = rng.standard_normal((9, 12)).astype(np.float32)
+        m = _draw_mask(seed, 4)
+        np.random.seed(seed)  # ref draws the same m internally
+        rx, rs, rd = t.apply(x.copy(), sed.copy(), doa.copy())
+        gx, gs, gd = swap_channel_foa(x, sed, doa, m, 4)
+        np.testing.assert_array_equal(gx, rx, err_msg=f"features, m={m}")
+        np.testing.assert_array_equal(gd, rd, err_msg=f"labels, m={m}")
+
+
+def test_mic_swap_matches_imported_reference(rng, ref_tf):
+    from salsa_tpu.data.transforms import swap_channel_mic
+
+    t = ref_tf.TfmapRandomSwapChannelMic(n_classes=4)
+    for seed in range(16):
+        x = rng.standard_normal((7, 6, 5)).astype(np.float32)
+        sed = (rng.random((9, 4)) < 0.4).astype(np.float32)
+        doa = rng.standard_normal((9, 12)).astype(np.float32)
+        m = _draw_mask(seed, 3)
+        np.random.seed(seed)
+        rx, rs, rd = t.apply(x.copy(), sed.copy(), doa.copy())
+        gx, gs, gd = swap_channel_mic(x, sed, doa, m, 4)
+        np.testing.assert_allclose(gx, rx, atol=1e-6, err_msg=f"features, m={m}")
+        np.testing.assert_allclose(gd, rd, atol=1e-6, err_msg=f"labels, m={m}")
+
+
+def test_gcc_swap_matches_imported_reference(rng, ref_tf):
+    """Features must match for every mask. Labels compared only when at most one
+    generator fires: the reference desynchronizes features (if/elif) from labels
+    (if/if/if) for multi-bit masks — we intentionally keep labels consistent with
+    features (documented deviation, data/transforms.py)."""
+    from salsa_tpu.data.transforms import swap_channel_gcc
+
+    t = ref_tf.GccRandomSwapChannelMic(n_classes=4)
+    for seed in range(24):
+        x = rng.standard_normal((10, 6, 5)).astype(np.float32)
+        sed = (rng.random((9, 4)) < 0.4).astype(np.float32)
+        doa = rng.standard_normal((9, 12)).astype(np.float32)
+        m = _draw_mask(seed, 3)
+        np.random.seed(seed)
+        rx, rs, rd = t.apply(x.copy(), sed.copy(), doa.copy())
+        gx, gs, gd = swap_channel_gcc(x, sed, doa, m, 4)
+        np.testing.assert_allclose(gx, rx, atol=1e-6, err_msg=f"features, m={m}")
+        if m.sum() <= 1:
+            np.testing.assert_allclose(gd, rd, atol=1e-6, err_msg=f"labels, m={m}")
