@@ -150,21 +150,25 @@ class LazySplitData(SplitData):
     within_clip_start: np.ndarray | None = None              # chunk -> frame offset
     clip_feature_frames: np.ndarray | None = None            # clip -> trimmed length
     normalize_fn: object = None                              # feature -> feature
-    _handles: dict = field(default_factory=dict, repr=False)
+    _tls: object = field(default_factory=__import__("threading").local, repr=False)
 
     def get_feature_chunk(self, index: int) -> np.ndarray:
         import h5py
 
         clip = int(self.clip_of_chunk[index])
         path = self.clip_paths[clip]
-        hf = self._handles.get(path)
+        # h5py handles are not thread-safe: cache per thread (multi-worker reads)
+        handles = getattr(self._tls, "handles", None)
+        if handles is None:
+            handles = self._tls.handles = {}
+        hf = handles.get(path)
         if hf is None:
-            if len(self._handles) > 32:  # bound open-handle count
-                for h in self._handles.values():
+            if len(handles) > 32:  # bound open-handle count
+                for h in handles.values():
                     h.close()
-                self._handles.clear()
+                handles.clear()
             hf = h5py.File(path, "r")
-            self._handles[path] = hf
+            handles[path] = hf
         f0 = int(self.within_clip_start[index])
         # respect the clip's TRIMMED length (load_split cuts to a label-rate
         # multiple and to max_file_len before chunking) — frames past it belong

@@ -26,17 +26,25 @@ class SeldChunkDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def __getitem__(self, index: int):
+    def fetch_raw(self, index: int):
+        """Window materialization only (thread-safe; no rng-bearing transforms)."""
         d = self.data
         l0 = d.label_chunk_starts[index]
         x = d.get_feature_chunk(index)
         sed = d.sed_targets[l0 : l0 + d.label_chunk_len]
         doa = d.doa_targets[l0 : l0 + d.label_chunk_len]
+        return x, sed, doa, d.clip_names[index]
+
+    def apply_transforms(self, item):
+        x, sed, doa, name = item
         if self.joint_transform is not None:
             x, sed, doa = self.joint_transform(x, sed, doa)
         if self.transform is not None:
             x = self.transform(x)
-        return x, sed, doa, d.clip_names[index]
+        return x, sed, doa, name
+
+    def __getitem__(self, index: int):
+        return self.apply_transforms(self.fetch_raw(index))
 
 
 def batch_iterator(
@@ -47,12 +55,18 @@ def batch_iterator(
     rng: np.random.Generator | None = None,
     pad_to_batch: bool = False,
     process_shard: tuple[int, int] | None = None,
+    num_workers: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, list[str], int]]:
     """Yields (x, sed, doa, clip_names, n_real) batches as stacked numpy arrays.
 
     With pad_to_batch, short tail batches are padded by repeating the last sample so
     jitted step functions see a single static batch shape; n_real reports the
     unpadded count.
+
+    num_workers > 0 materializes each batch's chunk windows through a thread pool
+    (useful with streaming LazySplitData, where every access is an HDF5 read);
+    rng-bearing transforms still run serially in this thread, so augmentation
+    draws stay deterministic for a given shuffle order.
 
     process_shard=(pid, n_proc) is the multi-host mode: the shuffle order is
     computed over the full dataset (so it is identical on every same-seeded
@@ -63,6 +77,14 @@ def batch_iterator(
     order = np.arange(len(dataset))
     if shuffle:
         (rng or np.random.default_rng()).shuffle(order)
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_workers)
+        materialize = lambda idx: [dataset.apply_transforms(it) for it in
+                                   pool.map(dataset.fetch_raw, [int(j) for j in idx])]
+    else:
+        materialize = lambda idx: [dataset[int(j)] for j in idx]
     if process_shard is not None:
         pid, n_proc = process_shard
         assert drop_last and batch_size % n_proc == 0, (
@@ -70,7 +92,7 @@ def batch_iterator(
         per = batch_size // n_proc
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i + pid * per : i + (pid + 1) * per]
-            samples = [dataset[int(j)] for j in idx]
+            samples = materialize(idx)
             yield (np.stack([s[0] for s in samples]),
                    np.stack([s[1] for s in samples]),
                    np.stack([s[2] for s in samples]),
@@ -83,7 +105,7 @@ def batch_iterator(
                 return
             if pad_to_batch:
                 idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
-        samples = [dataset[int(j)] for j in idx]
+        samples = materialize(idx)
         n_real = min(batch_size, len(order) - i)
         x = np.stack([s[0] for s in samples])
         sed = np.stack([s[1] for s in samples])

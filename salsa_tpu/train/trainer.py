@@ -459,6 +459,7 @@ class SeldTrainer:
             self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
             drop_last=multihost or len(self.train_dataset) >= self.batch_size,
             process_shard=(self._pid, self._n_proc) if multihost else None,
+            num_workers=int(self.cfg.training.get("data_workers", 0)),
         ))
         for x, sed, doa, _names, _n in it:
             if multihost:
@@ -523,7 +524,8 @@ class SeldTrainer:
         probs, doas = [], []
         loss_sums: dict[str, float] = {}
         for x, sed_gt, doa_gt, _names, n_real in batch_iterator(
-            ds, bs, shuffle=False, pad_to_batch=True
+            ds, bs, shuffle=False, pad_to_batch=True,
+            num_workers=int(self.cfg.training.get("data_workers", 0)),
         ):
             if tta is None:
                 event_prob, doa, event_logit = self._eval_step(

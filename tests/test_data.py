@@ -340,3 +340,38 @@ def test_lazy_streaming_matches_preload_with_short_clip(tmp_path, rng):
     for i in range(len(pre)):
         np.testing.assert_allclose(lazy.get_feature_chunk(i),
                                    pre.get_feature_chunk(i), atol=1e-6, err_msg=str(i))
+
+
+def test_batch_iterator_num_workers_matches_serial(tmp_path, rng):
+    """Thread-pool window materialization (streaming mode) yields identical batches
+    to the serial path, including augmentation rng order."""
+    from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator
+    from salsa_tpu.data.feature_store import FeatureStore, StreamingScaler
+
+    store = FeatureStore(str(tmp_path / "feat"), "foa")
+    scaler = StreamingScaler(4)
+    for i in range(3):
+        feat = rng.standard_normal((7, 480, 20)).astype(np.float32)
+        store.write_clip("dev", f"c{i}", feat)
+        scaler.update(feat)
+    store.write_scaler(*scaler.finalize())
+    (tmp_path / "meta").mkdir()
+    (tmp_path / "meta" / "val.csv").write_text("filename\nc0\nc1\nc2\n")
+    db = SeldDatabase(
+        feature_root_dir=str(tmp_path / "feat"), gt_meta_root_dir=None,
+        audio_format="foa", n_classes=4, train_chunk_len_s=2.0,
+        train_chunk_hop_len_s=1.0, test_chunk_len_s=2.0, test_chunk_hop_len_s=1.0,
+        max_file_len_s=6.0,
+    )
+    split = db.load_split("val", split_meta_dir=str(tmp_path / "meta"),
+                          stage="fit", preload=False)
+    ds = SeldChunkDataset(split)
+    serial = list(batch_iterator(ds, 4, shuffle=True, rng=np.random.default_rng(5),
+                                 drop_last=True))
+    pooled = list(batch_iterator(ds, 4, shuffle=True, rng=np.random.default_rng(5),
+                                 drop_last=True, num_workers=4))
+    assert len(serial) == len(pooled) > 0
+    for (a, b) in zip(serial, pooled):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        assert a[3] == b[3]
