@@ -153,6 +153,7 @@ def main():
     print(f"extraction: {time.time()-t0:.1f}s")
 
     # ---- train ----
+    n_in = {"melspec": 4}.get(feature_type, 10 if feature_type.endswith("gcc") else 7)
     exp_cfg = {
         "name": "sanity", "feature_root_dir": feature_dir, "feature_type": feature_type,
         "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir, "seed": args.seed,
@@ -163,7 +164,7 @@ def main():
                  "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
                  "output_format": "reg_xyz", "max_file_len_s": CLIP_SECONDS},
         "model": {
-            "encoder": {"name": "PannResNet22", "n_input_channels": 7,
+            "encoder": {"name": "PannResNet22", "n_input_channels": n_in,
                         "compute_dtype": "bfloat16"},
             "decoder": {"name": "SeldDecoder", "decoder_type": "bigru",
                         "decoder_size": 128, "freq_pool": "avg",
