@@ -25,6 +25,7 @@ from salsa_tpu.utils.experiments import manage_experiments, logger
 
 def import_checkpoint(exp_config: str, torch_ckpt: str,
                       exp_group_dir: str = "./outputs", exp_suffix: str = "") -> str:
+    import jax
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=True)
@@ -41,8 +42,7 @@ def import_checkpoint(exp_config: str, torch_ckpt: str,
 
     torch_state = load_torch_state_dict(torch_ckpt)
     params, stats = torch_state_dict_to_flax(torch_state, variables)
-    n_params = sum(int(np.prod(p.shape)) for p in
-                   __import__("jax").tree.leaves(params))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     state = state.replace(params=params, batch_stats=stats)
     path = ckpt.save_checkpoint(
         cfg.dir.model.best, "best", state,

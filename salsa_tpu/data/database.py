@@ -18,6 +18,7 @@ Behavior parity with reference dataset/database.py:
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -150,7 +151,7 @@ class LazySplitData(SplitData):
     within_clip_start: np.ndarray | None = None              # chunk -> frame offset
     clip_feature_frames: np.ndarray | None = None            # clip -> trimmed length
     normalize_fn: object = None                              # feature -> feature
-    _tls: object = field(default_factory=__import__("threading").local, repr=False)
+    _tls: object = field(default_factory=threading.local, repr=False)
 
     def get_feature_chunk(self, index: int) -> np.ndarray:
         import h5py

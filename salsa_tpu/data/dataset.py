@@ -77,6 +77,7 @@ def batch_iterator(
     order = np.arange(len(dataset))
     if shuffle:
         (rng or np.random.default_rng()).shuffle(order)
+    pool = None
     if num_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -85,33 +86,39 @@ def batch_iterator(
                                    pool.map(dataset.fetch_raw, [int(j) for j in idx])]
     else:
         materialize = lambda idx: [dataset[int(j)] for j in idx]
-    if process_shard is not None:
-        pid, n_proc = process_shard
-        assert drop_last and batch_size % n_proc == 0, (
-            "multi-host batches must be uniform and divisible by process count")
-        per = batch_size // n_proc
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            idx = order[i + pid * per : i + (pid + 1) * per]
+    try:
+        if process_shard is not None:
+            pid, n_proc = process_shard
+            assert drop_last and batch_size % n_proc == 0, (
+                "multi-host batches must be uniform and divisible by process count")
+            per = batch_size // n_proc
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[i + pid * per : i + (pid + 1) * per]
+                samples = materialize(idx)
+                yield (np.stack([s[0] for s in samples]),
+                       np.stack([s[1] for s in samples]),
+                       np.stack([s[2] for s in samples]),
+                       [s[3] for s in samples], per)
+            return
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            if len(idx) < batch_size:
+                if drop_last:
+                    return
+                if pad_to_batch:
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1:], batch_size - len(idx))])
             samples = materialize(idx)
-            yield (np.stack([s[0] for s in samples]),
-                   np.stack([s[1] for s in samples]),
-                   np.stack([s[2] for s in samples]),
-                   [s[3] for s in samples], per)
-        return
-    for i in range(0, len(order), batch_size):
-        idx = order[i : i + batch_size]
-        if len(idx) < batch_size:
-            if drop_last:
-                return
-            if pad_to_batch:
-                idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
-        samples = materialize(idx)
-        n_real = min(batch_size, len(order) - i)
-        x = np.stack([s[0] for s in samples])
-        sed = np.stack([s[1] for s in samples])
-        doa = np.stack([s[2] for s in samples])
-        names = [s[3] for s in samples]
-        yield x, sed, doa, names, n_real
+            n_real = min(batch_size, len(order) - i)
+            x = np.stack([s[0] for s in samples])
+            sed = np.stack([s[1] for s in samples])
+            doa = np.stack([s[2] for s in samples])
+            names = [s[3] for s in samples]
+            yield x, sed, doa, names, n_real
+    finally:
+        # runs on exhaustion AND on generator close (early consumer break)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def prefetch(iterator, depth: int = 2):
@@ -119,24 +126,44 @@ def prefetch(iterator, depth: int = 2):
 
     Host-side chunk slicing + augmentation overlaps with device compute (the single
     dispatch thread is otherwise serialized with the train step). Exceptions from
-    the producer are re-raised at the consumer."""
+    the producer are re-raised at the consumer. Closing this generator early (the
+    trainer breaks at steps_per_epoch under train_fraction) signals the producer
+    to stop and close the inner iterator — no leaked threads, worker pools, or
+    open file handles."""
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    break
+            put(_END)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            put(e)
+        finally:
+            if hasattr(iterator, "close"):
+                iterator.close()  # triggers batch_iterator's pool shutdown
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -99,6 +99,10 @@ def _torch_encoder_sequence(groups):
     (conv_block1 pairs, then each ResNet block's mains followed by its downsample)
     — state_dict insertion order interleaves differently (conv1, conv2, bn1, bn2)."""
     gd = dict(groups)
+    if "conv_block1.conv1" not in gd:
+        raise ValueError(
+            "checkpoint does not look like a reference PannResNet22 encoder "
+            f"(no conv_block1.conv1; found modules: {sorted(gd)[:6]}...)")
     seq = []
     for mod in ("conv_block1.conv1", "conv_block1.bn1",
                 "conv_block1.conv2", "conv_block1.bn2"):
@@ -155,9 +159,13 @@ def _import_decoder(state, params) -> int:
             layer, direction = layer_name.split("_")
             suffix = "" if direction == "fwd" else "_reverse"
             idx = layer[1:]
-            key = lambda part: f"decoder.gru.{part}_l{idx}{suffix}"
-            alt = lambda part: f"decoder.rnn.{part}_l{idx}{suffix}"
-            getk = lambda part: state.get(key(part), state.get(alt(part)))
+            def getk(part, _idx=idx, _sfx=suffix):
+                # reference names the module by cell type (decoders.py:36-62)
+                for mod in ("gru", "lstm", "rnn"):
+                    v = state.get(f"decoder.{mod}.{part}_l{_idx}{_sfx}")
+                    if v is not None:
+                        return v
+                return None
             if getk("weight_ih") is None:
                 raise ValueError(f"checkpoint lacks RNN weights for {layer_name}")
             stack[layer_name] = {
@@ -178,6 +186,13 @@ def _import_decoder(state, params) -> int:
                 raise ValueError(f"checkpoint lacks decoder.{theirs}")
             dec[ours] = {"kernel": w.T, "bias": state[f"decoder.{theirs}.bias"]}
             n += 2
+    unmapped = set(dec) - {"RNNStack_0"} - set(head_map)
+    if unmapped:
+        # e.g. the transformer decoder variant — refuse rather than silently
+        # leaving those modules at random init
+        raise ValueError(
+            f"cannot import weights for decoder modules {sorted(unmapped)} "
+            "(only gru/bigru/lstm/bilstm decoders are importable)")
     return n
 
 

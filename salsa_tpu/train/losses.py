@@ -54,15 +54,21 @@ def seld_loss(pred: dict, target: dict, n_classes: int, loss_weight=(0.3, 0.7)):
     return total, sed_l, doa_l
 
 
+def accdoa_mse(doa_pred, doa_gt, sed_mask, n_classes: int, n_cells):
+    """Masked xyz MSE shared by the accdoa training and validation losses:
+    sum over active (frame, class) cells of |pred-gt|^2, normalized by n_cells."""
+    sq = (doa_pred - doa_gt) ** 2
+    xyz = (sq[..., :n_classes] + sq[..., n_classes : 2 * n_classes]
+           + sq[..., 2 * n_classes :])
+    return jnp.sum(xyz * sed_mask) / jnp.maximum(n_cells, 1)
+
+
 def accdoa_loss(pred: dict, target: dict, n_classes: int):
     """ACCDOA loss variant (reference interfaces.py:284-302).
     Returns (total, sed_loss(=0), doa_loss)."""
     sed_gt = target["event_frame_gt"]
     n_cells = sed_gt.shape[0] * sed_gt.shape[1]
-    sq = (pred["doa_frame_output"] - target["doa_frame_gt"]) ** 2
-    x = sq[:, :, :n_classes]
-    y = sq[:, :, n_classes : 2 * n_classes]
-    z = sq[:, :, 2 * n_classes :]
-    doa_l = jnp.sum((x + y + z) * sed_gt) / n_cells
+    doa_l = accdoa_mse(pred["doa_frame_output"], target["doa_frame_gt"], sed_gt,
+                       n_classes, n_cells)
     total = doa_l  # the reference zeroes the sed term before summing
     return total, jnp.zeros_like(doa_l), doa_l

@@ -177,7 +177,7 @@ def make_val_loss_step(n_classes: int, loss_weight, output_format: str = "reg_xy
     (train/losses.py) — one set of formulas, no host-NumPy duplicate to drift.
     Prediction frames are trimmed to the target length; rows beyond n_real
     (pad_to_batch duplicates) are masked out of both loss terms."""
-    from salsa_tpu.train.losses import bce_with_logits, masked_reg_loss
+    from salsa_tpu.train.losses import accdoa_mse, bce_with_logits, masked_reg_loss
 
     def val_loss(event_logit, doa_pred, sed_gt, doa_gt, n_real):
         n = min(event_logit.shape[1], sed_gt.shape[1])
@@ -186,10 +186,8 @@ def make_val_loss_step(n_classes: int, loss_weight, output_format: str = "reg_xy
         # zeroing padded rows' SED mask removes them from the masked losses exactly
         mask = tgt * row[:, None, None]
         if output_format == "accdoa":
-            sq = (doa_pred[:, :n] - doa_gt[:, :n]) ** 2
-            xyz = (sq[:, :, :n_classes] + sq[:, :, n_classes : 2 * n_classes]
-                   + sq[:, :, 2 * n_classes :])
-            doa_l = jnp.sum(xyz * mask) / jnp.maximum(n_real * n, 1)
+            doa_l = accdoa_mse(doa_pred[:, :n], doa_gt[:, :n], mask,
+                               n_classes, n_real * n)
             return doa_l, jnp.zeros_like(doa_l), doa_l
         sed_l = bce_with_logits(logit, tgt, row_weights=row)
         doa_l = sum(

@@ -375,3 +375,32 @@ def test_batch_iterator_num_workers_matches_serial(tmp_path, rng):
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
         assert a[3] == b[3]
+
+
+def test_prefetch_early_close_stops_producer(rng):
+    """Breaking out of prefetch early (train_fraction path) must stop the producer
+    thread and close the inner iterator (pool shutdown), not leak them."""
+    import threading
+    import time
+
+    from salsa_tpu.data.dataset import prefetch
+
+    closed = {"v": False}
+
+    def gen():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed["v"] = True
+
+    before = threading.active_count()
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # what CPython does when the consumer loop is abandoned
+    for _ in range(50):
+        if closed["v"] and threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert closed["v"], "inner iterator was not closed"
+    assert threading.active_count() <= before, "producer thread leaked"
