@@ -6,7 +6,9 @@ f32 uniform per element (4 bytes written + read back per activation element) and
 the autodiff rule then SAVES the keep-mask from forward to backward — hundreds of
 MB of residual traffic per step for the encoder's ~250M activation elements.
 
-This implementation removes both costs:
+This implementation removes both costs (PRNG bit generation itself remains —
+keep the rbg PRNG, train/state.py::dropout_rng's default; threefry bit
+generation alone is ~50 ms/step at these activation sizes):
 
   * the keep decision is a raw uint32 threshold compare (`jax.random.bits`) —
     no f32 uniforms, and XLA fuses compare+select into the surrounding op; and
