@@ -63,12 +63,31 @@ def accdoa_mse(doa_pred, doa_gt, sed_mask, n_classes: int, n_cells):
     return jnp.sum(xyz * sed_mask) / jnp.maximum(n_cells, 1)
 
 
-def accdoa_loss(pred: dict, target: dict, n_classes: int):
+def accdoa_loss(pred: dict, target: dict, n_classes: int,
+                silent_weight: float = 0.0):
     """ACCDOA loss variant (reference interfaces.py:284-302).
-    Returns (total, sed_loss(=0), doa_loss)."""
+    Returns (total, sed_loss, doa_loss).
+
+    The reference computes a silent-region penalty (pushing inactive classes'
+    vector norms toward zero, its compute_classwise_accdoa_loss) but then zeroes
+    it before summing (interfaces.py:279-280) — so its effective recipe never
+    constrains inactive cells and over-triggers at eval (the SED decision is the
+    vector norm). silent_weight=0 reproduces that exactly; silent_weight>0
+    enables the reference's own (computed-but-discarded) penalty, same formula.
+    """
     sed_gt = target["event_frame_gt"]
     n_cells = sed_gt.shape[0] * sed_gt.shape[1]
-    doa_l = accdoa_mse(pred["doa_frame_output"], target["doa_frame_gt"], sed_gt,
-                       n_classes, n_cells)
-    total = doa_l  # the reference zeroes the sed term before summing
-    return total, jnp.zeros_like(doa_l), doa_l
+    doa_pred, doa_gt = pred["doa_frame_output"], target["doa_frame_gt"]
+    doa_l = accdoa_mse(doa_pred, doa_gt, sed_gt, n_classes, n_cells)
+    if silent_weight > 0.0:
+        sq = (doa_pred - doa_gt) ** 2
+        x = sq[..., :n_classes]
+        y = sq[..., n_classes : 2 * n_classes]
+        z = sq[..., 2 * n_classes :]
+        # reference formula verbatim: "sed" = sqrt of the squared per-axis MSEs
+        sed_hat = jnp.sqrt(x**2 + y**2 + z**2 + 1e-12)
+        sed_l = jnp.sum((sed_hat - sed_gt) ** 2 * (1.0 - sed_gt)) / n_cells
+    else:
+        sed_l = jnp.zeros_like(doa_l)
+    total = doa_l + silent_weight * sed_l
+    return total, sed_l, doa_l

@@ -34,7 +34,8 @@ from salsa_tpu.utils.experiments import logger
 
 
 def make_train_step(model, n_classes: int, loss_weight, output_format: str,
-                    interp_ratio: float, remat: bool = False, augment_fn=None):
+                    interp_ratio: float, remat: bool = False, augment_fn=None,
+                    accdoa_silent_weight: float = 0.0):
     """remat=True rematerializes the forward activations during backward
     (jax.checkpoint with matmul outputs saved) — trades ~30% step time for a
     large-batch/long-chunk memory footprint cut. augment_fn (from
@@ -75,7 +76,8 @@ def make_train_step(model, n_classes: int, loss_weight, output_format: str,
             if output_format == "reg_xyz":
                 total, sed_l, doa_l = seld_loss(pred, target, n_classes, loss_weight)
             else:
-                total, sed_l, doa_l = accdoa_loss(pred, target, n_classes)
+                total, sed_l, doa_l = accdoa_loss(pred, target, n_classes,
+                                                  silent_weight=accdoa_silent_weight)
             return total, (sed_l, doa_l, updates["batch_stats"])
 
         (total, (sed_l, doa_l, new_stats)), grads = jax.value_and_grad(
@@ -90,7 +92,8 @@ def make_train_step(model, n_classes: int, loss_weight, output_format: str,
 
 def make_resident_train_step(model, n_classes: int, loss_weight, output_format: str,
                              interp_ratio: float, chunk_len: int, label_chunk_len: int,
-                             remat: bool = False, augment_fn=None, mesh=None):
+                             remat: bool = False, augment_fn=None, mesh=None,
+                             accdoa_silent_weight: float = 0.0):
     """Device-resident data variant: the whole split's features/targets live on the
     chip and each step receives only (start-index) vectors — chunk windows are
     sliced inside the jit graph.
@@ -107,7 +110,8 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
     the gradient psum rides ICI exactly as in the host-fed path.
     """
     base_step = make_train_step(model, n_classes, loss_weight, output_format,
-                                interp_ratio, remat=remat, augment_fn=augment_fn)
+                                interp_ratio, remat=remat, augment_fn=augment_fn,
+                                accdoa_silent_weight=accdoa_silent_weight)
     batch_sharding = None
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -306,6 +310,8 @@ class SeldTrainer:
         self._train_step = make_train_step(
             model, self.n_classes, loss_weight, self.output_format, self.interp_ratio,
             remat=cfg.training.get("remat", False), augment_fn=augment_fn,
+            accdoa_silent_weight=float(
+                cfg.training.get("accdoa_silent_weight", 0.0)),
         )
         self.device_data = cfg.training.get("device_data", False)
         if self.device_data:
@@ -335,6 +341,8 @@ class SeldTrainer:
                 train_data.label_chunk_len,
                 remat=cfg.training.get("remat", False), augment_fn=augment_fn,
                 mesh=self.mesh,
+                accdoa_silent_weight=float(
+                    cfg.training.get("accdoa_silent_weight", 0.0)),
             )
             self._f_starts = np.asarray(train_data.feature_chunk_starts)
             self._l_starts = np.asarray(train_data.label_chunk_starts)

@@ -101,6 +101,9 @@ def main():
                     choices=["foa", "mic"])
     ap.add_argument("--feature-type", default=None,
                     help="default: salsa for foa, salsa_lite for mic")
+    ap.add_argument("--output-format", default="reg_xyz",
+                    choices=["reg_xyz", "accdoa"])
+    ap.add_argument("--accdoa-silent-weight", type=float, default=0.0)
     args = ap.parse_args()
     fmt = args.audio_format
     feature_type = args.feature_type or ("salsa" if fmt == "foa" else "salsa_lite")
@@ -162,7 +165,7 @@ def main():
                  "label_rate": LABEL_RATE, "train_chunk_len_s": 8,
                  "train_chunk_hop_len_s": 1.0, "test_chunk_len_s": CLIP_SECONDS,
                  "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
-                 "output_format": "reg_xyz", "max_file_len_s": CLIP_SECONDS},
+                 "output_format": args.output_format, "max_file_len_s": CLIP_SECONDS},
         "model": {
             "encoder": {"name": "PannResNet22", "n_input_channels": n_in,
                         "compute_dtype": "bfloat16"},
@@ -171,6 +174,7 @@ def main():
                         "compute_dtype": "bfloat16"},
         },
         "training": {"train_batch_size": 16, "optimizer": "adam",
+                     "accdoa_silent_weight": args.accdoa_silent_weight,
                      "device_data": True, "device_augment": True,
                      "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
                                       "lrs": [3e-4, 3e-4, 3e-4, 1e-4],

@@ -229,3 +229,43 @@ def test_val_fraction_truncates_clips(rng):
     assert t.unique_clip_names == ["a", "b"]
     assert len(t) == 5 and list(t.clip_chunk_counts) == [3, 2]
     assert t.features is split.features  # storage shared, not copied
+
+
+def test_accdoa_silent_penalty_matches_imported_reference(rng):
+    """silent_weight>0 enables the reference's computed-but-discarded silent-region
+    term (interfaces.py:284-302) — compare both terms against the imported
+    reference method on random tensors."""
+    import sys
+    from types import SimpleNamespace
+
+    from tests.torch_ref import load_reference_models
+
+    ref = load_reference_models()
+    if ref is None:
+        pytest.skip("reference not mounted")
+    import torch
+
+    n = 4
+    pred = rng.standard_normal((2, 6, 3 * n)).astype(np.float32)
+    gt = rng.standard_normal((2, 6, 3 * n)).astype(np.float32)
+    sed = (rng.random((2, 6, n)) < 0.4).astype(np.float32)
+
+    ns = SimpleNamespace(n_classes=n)
+    t_sed, t_doa = ref.interfaces.BaseModel.compute_classwise_accdoa_loss(
+        ns,
+        target_dict={"event_frame_gt": torch.from_numpy(sed),
+                     "doa_frame_gt": torch.from_numpy(gt)},
+        pred_dict={"doa_frame_output": torch.from_numpy(pred)},
+    )
+    total, sed_l, doa_l = accdoa_loss(
+        {"doa_frame_output": jnp.asarray(pred)},
+        {"event_frame_gt": jnp.asarray(sed), "doa_frame_gt": jnp.asarray(gt)},
+        n, silent_weight=1.0)
+    np.testing.assert_allclose(float(doa_l), float(t_doa), rtol=1e-5)
+    np.testing.assert_allclose(float(sed_l), float(t_sed), rtol=1e-4)
+    # default (reference-parity) path zeroes the term out of the total
+    total0, sed0, _ = accdoa_loss(
+        {"doa_frame_output": jnp.asarray(pred)},
+        {"event_frame_gt": jnp.asarray(sed), "doa_frame_gt": jnp.asarray(gt)}, n)
+    np.testing.assert_allclose(float(total0), float(t_doa), rtol=1e-5)
+    assert float(sed0) == 0.0

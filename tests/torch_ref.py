@@ -42,4 +42,9 @@ def load_reference_models():
     mu = importlib.import_module("models.model_utils")
     enc = importlib.import_module("models.encoders")
     dec = importlib.import_module("models.decoders")
-    return types.SimpleNamespace(model_utils=mu, encoders=enc, decoders=dec)
+    try:
+        itf = importlib.import_module("models.interfaces")
+    except Exception:  # heavier import graph (metrics, h5py); optional
+        itf = None
+    return types.SimpleNamespace(model_utils=mu, encoders=enc, decoders=dec,
+                                 interfaces=itf)
