@@ -24,7 +24,8 @@ from salsa_tpu.utils.experiments import manage_experiments, logger
 
 
 def import_checkpoint(exp_config: str, torch_ckpt: str,
-                      exp_group_dir: str = "./outputs", exp_suffix: str = "") -> str:
+                      exp_group_dir: str = "./outputs", exp_suffix: str = "",
+                      trust_checkpoint: bool = False) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +41,8 @@ def import_checkpoint(exp_config: str, torch_ckpt: str,
     state = create_train_state(model, sample, make_optimizer(1), seed=0)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    torch_state = load_torch_state_dict(torch_ckpt)
+    torch_state = load_torch_state_dict(torch_ckpt,
+                                        trust_checkpoint=trust_checkpoint)
     params, stats = torch_state_dict_to_flax(torch_state, variables)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     state = state.replace(params=params, batch_stats=stats)
@@ -58,8 +60,12 @@ def main():
     p.add_argument("--torch-ckpt", required=True)
     p.add_argument("--exp-group-dir", default="./outputs")
     p.add_argument("--exp-suffix", default="")
+    p.add_argument("--trust-checkpoint", action="store_true",
+                   help="allow full (unsafe) unpickling for checkpoints that "
+                        "torch.load(weights_only=True) cannot read")
     a = p.parse_args()
-    import_checkpoint(a.exp_config, a.torch_ckpt, a.exp_group_dir, a.exp_suffix)
+    import_checkpoint(a.exp_config, a.torch_ckpt, a.exp_group_dir, a.exp_suffix,
+                      trust_checkpoint=a.trust_checkpoint)
 
 
 if __name__ == "__main__":

@@ -27,12 +27,27 @@ from typing import Any
 import numpy as np
 
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, *, trust_checkpoint: bool = False
+                          ) -> dict[str, np.ndarray]:
     """Load a reference checkpoint into {key: np.ndarray}, handling both raw
-    state_dicts and Lightning checkpoints, and stripping a 'model.' prefix."""
+    state_dicts and Lightning checkpoints, and stripping a 'model.' prefix.
+
+    Loads with ``weights_only=True`` (no arbitrary-code unpickling) — Lightning
+    checkpoints of plain tensors load fine that way. Pass
+    ``trust_checkpoint=True`` (CLI: ``--trust-checkpoint``) only for files from
+    a trusted source that need full pickle, e.g. ones embedding custom classes;
+    that path can execute code at load time."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not trust_checkpoint:
+            raise ValueError(
+                f"{path} needs full (unsafe) unpickling to load. If you trust "
+                "its producer, retry with trust_checkpoint=True "
+                "(CLI: --trust-checkpoint).")
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     state = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
     out = {}
     for k, v in state.items():
@@ -148,6 +163,41 @@ def _import_encoder(state, params, stats) -> int:
     return len(torch_seq)
 
 
+def transformer_layer_params(get, d_model: int, n_heads: int) -> dict:
+    """Map one torch nn.TransformerEncoderLayer's tensors onto our flax
+    TransformerEncoderLayer param tree (reference decoders.py:63-72; post-LN,
+    relu FF). `get(name)` returns the torch tensor for e.g. 'self_attn.in_proj_weight'.
+
+    torch packs q/k/v into in_proj_weight rows [q; k; v], each row-major over
+    (head, head_dim); flax wants per-projection kernels (d_in, heads, head_dim)
+    contracted as x @ kernel, i.e. the torch weight transposed then reshaped."""
+    head_dim = d_model // n_heads
+    in_w = np.asarray(get("self_attn.in_proj_weight"))
+    in_b = np.asarray(get("self_attn.in_proj_bias"))
+    proj = {}
+    for i, name in enumerate(("query", "key", "value")):
+        w = in_w[i * d_model : (i + 1) * d_model]
+        b = in_b[i * d_model : (i + 1) * d_model]
+        proj[name] = {"kernel": w.T.reshape(d_model, n_heads, head_dim),
+                      "bias": b.reshape(n_heads, head_dim)}
+    proj["out"] = {
+        "kernel": np.asarray(get("self_attn.out_proj.weight")).T.reshape(
+            n_heads, head_dim, d_model),
+        "bias": np.asarray(get("self_attn.out_proj.bias")),
+    }
+    return {
+        "MultiHeadDotProductAttention_0": proj,
+        "LayerNorm_0": {"scale": np.asarray(get("norm1.weight")),
+                        "bias": np.asarray(get("norm1.bias"))},
+        "Dense_0": {"kernel": np.asarray(get("linear1.weight")).T,
+                    "bias": np.asarray(get("linear1.bias"))},
+        "Dense_1": {"kernel": np.asarray(get("linear2.weight")).T,
+                    "bias": np.asarray(get("linear2.bias"))},
+        "LayerNorm_1": {"scale": np.asarray(get("norm2.weight")),
+                        "bias": np.asarray(get("norm2.bias"))},
+    }
+
+
 def _import_decoder(state, params) -> int:
     dec = params["decoder"]
     n = 0
@@ -173,6 +223,18 @@ def _import_decoder(state, params) -> int:
                 "bi": getk("bias_ih"), "bh": getk("bias_hh"),
             }
             n += 4
+    # transformer decoder (reference decoders.py:63-72: TransformerEncoder of
+    # post-LN layers; the sin/cos PE is a buffer we recompute, not a weight)
+    tf_layers = sorted(k for k in dec if k.startswith("TransformerEncoderLayer_"))
+    for li, lname in enumerate(tf_layers):
+        prefix = f"decoder.decoder_layer.layers.{li}."
+        if prefix + "self_attn.in_proj_weight" not in state:
+            raise ValueError(f"checkpoint lacks transformer weights for {lname}")
+        d_model = state[prefix + "self_attn.in_proj_weight"].shape[1]
+        n_heads = 8  # reference hard-codes nhead=8 (decoders.py:69)
+        dec[lname] = transformer_layer_params(
+            lambda name, _p=prefix: state[_p + name], d_model, n_heads)
+        n += 16
     head_map = {
         "event_fc1": "event_fc_1", "event_fc2": "event_fc_2",
         "x_fc1": "x_fc_1", "x_fc2": "x_fc_2",
@@ -186,13 +248,11 @@ def _import_decoder(state, params) -> int:
                 raise ValueError(f"checkpoint lacks decoder.{theirs}")
             dec[ours] = {"kernel": w.T, "bias": state[f"decoder.{theirs}.bias"]}
             n += 2
-    unmapped = set(dec) - {"RNNStack_0"} - set(head_map)
+    unmapped = set(dec) - {"RNNStack_0"} - set(head_map) - set(tf_layers)
     if unmapped:
-        # e.g. the transformer decoder variant — refuse rather than silently
-        # leaving those modules at random init
+        # refuse rather than silently leaving those modules at random init
         raise ValueError(
-            f"cannot import weights for decoder modules {sorted(unmapped)} "
-            "(only gru/bigru/lstm/bilstm decoders are importable)")
+            f"cannot import weights for decoder modules {sorted(unmapped)}")
     return n
 
 

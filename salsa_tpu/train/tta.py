@@ -44,12 +44,19 @@ class ChannelSwapTTA:
     (reference if/elif semantics), so the group is {identity, g0, g1, g2}).
     """
 
-    def __init__(self, kind: str, n_classes: int):
+    def __init__(self, kind: str, n_classes: int,
+                 n_input_channels: int | None = None):
         if kind not in _KIND_FNS:
             raise ValueError(f"TTA kind '{kind}' not supported")
         self.kind = kind
         self.n_classes = n_classes
         self.fn, n_bits, self.n_channels = _KIND_FNS[kind]
+        if n_input_channels is not None and n_input_channels != self.n_channels:
+            # fail at config time, not on the first batch inside predict_split
+            raise ValueError(
+                f"TTA kind '{kind}' needs {self.n_channels}-channel features, but "
+                f"this stream has {n_input_channels} channels — channel-swap TTA "
+                "only applies to directional feature types (salsa/iv/gcc)")
         if kind == "gcc":
             self.masks = [np.array(m) for m in
                           ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))]
@@ -60,18 +67,27 @@ class ChannelSwapTTA:
 
     def _label_matrix(self, m) -> np.ndarray:
         """3x3 signed permutation L with doa_new_blocks = L @ doa_old_blocks,
-        measured by pushing unit block vectors through the label transform."""
+        measured by pushing unit block vectors through the label transform.
+        Probed for two distinct classes (0 and n-1) to *verify*, not assume, that
+        the swap algebra is class-independent."""
         n = self.n_classes
         dummy_x = np.zeros((self.n_channels, 2, 2), dtype=np.float32)
         sed = np.zeros((1, n), dtype=np.float32)
-        L = np.zeros((3, 3))
-        for axis in range(3):
-            doa = np.zeros((1, 3 * n), dtype=np.float32)
-            doa[0, axis * n] = 1.0  # class 0, unit along `axis`
-            _, _, doa_t = self.fn(dummy_x, sed, doa, m, n)
-            for out_axis in range(3):
-                L[out_axis, axis] = doa_t[0, out_axis * n]
-        return L
+        mats = []
+        for cls in {0, n - 1}:
+            L = np.zeros((3, 3))
+            for axis in range(3):
+                doa = np.zeros((1, 3 * n), dtype=np.float32)
+                doa[0, axis * n + cls] = 1.0  # class `cls`, unit along `axis`
+                _, _, doa_t = self.fn(dummy_x, sed, doa, m, n)
+                for out_axis in range(3):
+                    L[out_axis, axis] = doa_t[0, out_axis * n + cls]
+            mats.append(L)
+        if len(mats) == 2 and not np.array_equal(mats[0], mats[1]):
+            raise AssertionError(
+                f"label transform for mask {m} is class-dependent — TTA inverse "
+                "derivation assumption violated")
+        return mats[0]
 
     def __len__(self):
         return len(self.masks)

@@ -61,6 +61,34 @@ def main():
         padded[:, :, : upper_bin - lower_bin] = eig.transpose(0, 2, 1)
         out[f"salsa_{fmt}"] = np.concatenate([spec, padded], axis=0)
 
+    # Fixture #2: a 32 kHz source clip (non-native rate). The reference loads
+    # every wav with librosa.load(sr=24000) — i.e. resample-then-extract. resampy
+    # is absent here, so the resample step is shimmed with the same scipy
+    # polyphase kernel utils/audio_io.py::resample uses (VERDICT r2 #7); what the
+    # golden pins is the full read->resample->extract chain staying in lockstep
+    # with the imported reference extractor on resampled input.
+    from salsa_tpu.utils.audio_io import resample
+
+    rng32 = np.random.default_rng(20260817)
+    # scaled to peak < 1: this fixture round-trips through a 16-bit wav in the
+    # test, and the synth tones sum past full scale unscaled
+    x32 = (0.4 * directional_audio(rng32, fs=32000)).astype(np.float32)
+    x32_at_fs = resample(x32, 32000, FS)
+    out["audio_32k"] = x32
+    out["audio_32k_fs"] = 32000
+    mag = ref_salsa.MagStftExtractor(n_fft=NFFT, hop_length=HOP)
+    lower_bin, upper_bin = 1, int(np.floor(9000 * NFFT / FS))
+    spec = mag.extract(x32_at_fs)
+    X = np.stack([_shim_stft(x32_at_fs[c], n_fft=NFFT, hop_length=HOP,
+                             win_length=NFFT) for c in range(4)], axis=-1)
+    eig = ref_salsa.extract_normalized_eigenvector(
+        X[lower_bin:upper_bin], condition_number=5.0, n_hopframes=3,
+        is_tracking=True, audio_format="foa", fs=FS, n_fft=NFFT,
+        lower_bin=lower_bin)
+    padded = np.zeros((3, spec.shape[1], spec.shape[2]), dtype=np.float32)
+    padded[:, :, : upper_bin - lower_bin] = eig.transpose(0, 2, 1)
+    out["salsa_foa_from_32k"] = np.concatenate([spec, padded], axis=0)
+
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "tests", "golden", "reference_features.npz")
     os.makedirs(os.path.dirname(dest), exist_ok=True)

@@ -12,6 +12,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: this box has ONE core and the heavier jitted graphs
+# (resident/fused train steps) take minutes to compile; caching makes test
+# reruns and the slow e2e group dramatically cheaper.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SALSA_TEST_JIT_CACHE", "/tmp/salsa_tpu_test_jit_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

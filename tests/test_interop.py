@@ -13,7 +13,8 @@ torch = pytest.importorskip("torch")
 
 
 @pytest.mark.slow
-def test_torch_checkpoint_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("decoder_type", ["bigru", "transformer"])
+def test_torch_checkpoint_roundtrip(tmp_path, rng, decoder_type):
     ref = load_reference_models()
     if ref is None:
         pytest.skip("reference not mounted")
@@ -24,7 +25,7 @@ def test_torch_checkpoint_roundtrip(tmp_path, rng):
             self.encoder = ref.encoders.PannResNet22(n_input_channels=7)
             self.decoder = ref.decoders.SeldDecoder(
                 n_output_channels=512, n_classes=5, output_format="reg_xyz",
-                decoder_type="bigru", decoder_size=32, freq_pool="avg")
+                decoder_type=decoder_type, decoder_size=32, freq_pool="avg")
 
     t_model = Container()
     t_model.eval()
@@ -44,7 +45,7 @@ def test_torch_checkpoint_roundtrip(tmp_path, rng):
 
     model = build_model(
         encoder={"name": "PannResNet22", "n_input_channels": 7},
-        decoder={"name": "SeldDecoder", "decoder_type": "bigru",
+        decoder={"name": "SeldDecoder", "decoder_type": decoder_type,
                  "decoder_size": 32, "freq_pool": "avg"},
         n_classes=5)
     x = rng.standard_normal((2, 7, 64, 32)).astype(np.float32)
@@ -127,3 +128,31 @@ def test_import_checkpoint_cli(tmp_path, rng):
     # spot-check one transplanted weight equals the torch original
     w = np.asarray(st.params["decoder"]["event_fc2"]["kernel"])
     np.testing.assert_allclose(w, dec.event_fc_2.weight.detach().numpy().T, atol=1e-6)
+
+
+class NotATensor:  # module-level so pickle can serialize it
+    pass
+
+
+def test_load_rejects_unsafe_pickle_without_trust(tmp_path):
+    """Checkpoints needing full unpickling are refused unless trust_checkpoint
+    is set (ADVICE r2: weights_only=True by default)."""
+    import pickle
+
+    from salsa_tpu.interop import load_torch_state_dict
+
+    path = tmp_path / "evil.ckpt"
+    with open(path, "wb") as f:
+        pickle.dump({"state_dict": {"model.w": NotATensor()}}, f)
+    with pytest.raises(ValueError, match="trust_checkpoint"):
+        load_torch_state_dict(str(path))
+
+
+def test_load_plain_state_dict_weights_only(tmp_path):
+    """A plain tensor state_dict loads through the safe path (no trust flag)."""
+    from salsa_tpu.interop import load_torch_state_dict
+
+    path = str(tmp_path / "plain.ckpt")
+    torch.save({"state_dict": {"model.w": torch.ones(3)}}, path)
+    out = load_torch_state_dict(path)
+    np.testing.assert_array_equal(out["w"], np.ones(3, np.float32))

@@ -45,9 +45,11 @@ def ref_db():
     return m
 
 
-def directional_audio(rng, n_samples=N_SAMPLES, n_ch=4):
+def directional_audio(rng, n_samples=None, n_ch=4, fs=FS):
     """Directional narrowband bursts + noise (valid and invalid SALSA TF bins)."""
-    t = np.arange(n_samples) / FS
+    if n_samples is None:
+        n_samples = N_SAMPLES if fs == FS else fs  # 1 s at non-native rates
+    t = np.arange(n_samples) / fs
     x = 0.01 * rng.standard_normal((n_ch, n_samples))
     for f0, delay_per_ch, amp in [(440.0, 1e-4, 1.0), (1320.0, -7e-5, 0.6),
                                   (3100.0, 4e-5, 0.4)]:

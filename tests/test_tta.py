@@ -87,3 +87,15 @@ def test_tta_kind_mapping():
     assert tta_kind("salsa", "mic") == "mic"
     assert tta_kind("linspecgcc", "mic") == "gcc"
     assert tta_kind("melspecgcc", "mic") == "gcc"
+
+
+def test_tta_rejects_channel_mismatch():
+    """A 4-channel (non-directional, e.g. melspec) stream must fail at
+    construction with a config error, not on the first batch (ADVICE r2)."""
+    with pytest.raises(ValueError, match="7-channel"):
+        ChannelSwapTTA("foa", 12, n_input_channels=4)
+    with pytest.raises(ValueError, match="10-channel"):
+        ChannelSwapTTA("gcc", 12, n_input_channels=7)
+    # matching channel counts construct fine
+    ChannelSwapTTA("foa", 12, n_input_channels=7)
+    ChannelSwapTTA("gcc", 12, n_input_channels=10)
