@@ -23,7 +23,8 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
               splits=("val", "test"), checkpoint_kind: str = "best",
               use_tta: bool = False):
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
-    db = build_database_from_cfg(cfg)
+    from_wav = cfg.training.get("from_wav", False)
+    db = None if from_wav else build_database_from_cfg(cfg)
     model = build_model(
         encoder=cfg.model.encoder.to_dict(),
         decoder=cfg.model.decoder.to_dict(),
@@ -34,6 +35,41 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
     results = {}
     split_meta_dir = cfg.get("split_meta_dir")
     for split in splits:
+        if from_wav:
+            # from_wav experiments carry no feature store: extract this split's
+            # features on device (seconds of chip time) from the wav tree, using
+            # the scaler persisted by training
+            import numpy as np
+
+            from salsa_tpu.data.meta import split_filenames
+            from salsa_tpu.data.wav_database import extract_split_to_store
+            from salsa_tpu.features.registry import make_extractor
+
+            d = cfg.data
+            scaler_path = os.path.join(os.path.dirname(cfg.dir.model.best),
+                                       "feature_scaler.npz")
+            if not os.path.isfile(scaler_path):
+                raise FileNotFoundError(
+                    f"{scaler_path} not found — was this experiment trained "
+                    "with training.from_wav?")
+            blob = np.load(scaler_path)
+            scaler = (blob["mean"], blob["std"])
+            sub = "metadata_eval" if split == "eval" else "metadata_dev"
+            fmt_dir = f"{d.audio_format}_{'eval' if split == 'eval' else 'dev'}"
+            audio_dir = cfg.get("audio_root_dir") or os.path.join(
+                cfg.gt_meta_root_dir, fmt_dir)
+            if not os.path.isdir(audio_dir):
+                audio_dir = os.path.join(cfg.gt_meta_root_dir,
+                                         f"{d.audio_format}_dev")
+            extractor = make_extractor(
+                cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
+                hop_length=d.hop_len, win_length=d.get("win_len", d.n_fft),
+                fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
+            )
+            store = extract_split_to_store(
+                extractor, split_filenames(split, split_meta_dir), audio_dir,
+                d.fs, scaler)
+            db = build_database_from_cfg(cfg, store=store)
         data = db.load_split(split, split_meta_dir=split_meta_dir, stage="inference")
         trainer = SeldTrainer(
             model=model, cfg=cfg, train_data=data, val_data=None,
@@ -55,7 +91,8 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
             from salsa_tpu.train.tta import ChannelSwapTTA, tta_kind
 
             tta = ChannelSwapTTA(tta_kind(cfg.feature_type, cfg.data.audio_format),
-                                 cfg.data.n_classes)
+                                 cfg.data.n_classes,
+                                 n_input_channels=cfg.model.encoder.n_input_channels)
             logger.info("[%s] TTA enabled: %d symmetry variants", split, len(tta))
 
         sub_dir = os.path.join(cfg.dir.output_dir.submission, split)

@@ -19,10 +19,11 @@ from salsa_tpu.cli._errors import cli_entry
 import numpy as np
 
 
-def build_database_from_cfg(cfg) -> SeldDatabase:
+def build_database_from_cfg(cfg, store=None) -> SeldDatabase:
     scaler_channels = 4 if cfg.feature_type.startswith("salsa") else None
     return SeldDatabase(
-        feature_root_dir=cfg.feature_root_dir,
+        feature_root_dir=cfg.get("feature_root_dir"),
+        store=store,
         gt_meta_root_dir=cfg.gt_meta_root_dir,
         audio_format=cfg.data.audio_format,
         n_classes=cfg.data.n_classes,
@@ -65,14 +66,63 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
 
     split_meta_dir = cfg.get("split_meta_dir")
     preload = cfg.data.get("preload", True)  # False: stream chunks from disk
-    train_data = db.load_split(train_split, split_meta_dir=split_meta_dir,
-                               stage="fit", preload=preload)
-    val_data = (
-        db.load_split(val_split, split_meta_dir=split_meta_dir, stage="inference",
-                      preload=preload)
-        if val_split
-        else None
-    )
+    scaler = None
+    if cfg.training.get("from_wav", False):
+        # fused raw-wav mode (SURVEY §7): no offline extract stage, no HDF5 —
+        # waveforms go device-resident and features are computed inside the
+        # jitted train step; scaler + val features are extracted on-device here
+        from salsa_tpu.data.meta import split_filenames
+        from salsa_tpu.data.wav_database import (
+            extract_split_to_store,
+            fit_scaler_from_waves,
+            load_wav_split,
+        )
+        from salsa_tpu.features.registry import make_extractor
+
+        d = cfg.data
+        audio_dir = cfg.get("audio_root_dir") or os.path.join(
+            cfg.gt_meta_root_dir, f"{d.audio_format}_dev")
+        extractor = make_extractor(
+            cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
+            hop_length=d.hop_len, win_length=d.get("win_len", d.n_fft),
+            fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
+            eig_method=cfg.training.get("eig_method", "auto"),
+        )
+        db.n_fft = d.n_fft
+        train_data = load_wav_split(
+            db, train_split, audio_dir, split_meta_dir=split_meta_dir,
+            wav_dtype=cfg.training.get("wav_dtype", "float32"),
+            n_channels=extractor.n_channels, n_features=extractor.n_features,
+        )
+        scaler = fit_scaler_from_waves(extractor, train_data.clip_wavs,
+                                       extractor.n_spec_channels)
+        # persist for later inference runs (from_wav experiments have no
+        # feature store to carry the scaler)
+        scaler_path = os.path.join(os.path.dirname(cfg.dir.model.best),
+                                   "feature_scaler.npz")
+        os.makedirs(os.path.dirname(scaler_path), exist_ok=True)
+        np.savez(scaler_path, mean=scaler[0], std=scaler[1])
+        logger.info("from_wav: %d train clips resident (%s, %.2f GB), scaler fit "
+                    "on device -> %s", len(train_data.clip_wavs),
+                    train_data.waves.dtype, train_data.waves.nbytes / 1e9,
+                    scaler_path)
+        val_data = None
+        if val_split:
+            val_store = extract_split_to_store(
+                extractor, split_filenames(val_split, split_meta_dir), audio_dir,
+                d.fs, scaler)
+            val_db = build_database_from_cfg(cfg, store=val_store)
+            val_data = val_db.load_split(val_split, split_meta_dir=split_meta_dir,
+                                         stage="inference")
+    else:
+        train_data = db.load_split(train_split, split_meta_dir=split_meta_dir,
+                                   stage="fit", preload=preload)
+        val_data = (
+            db.load_split(val_split, split_meta_dir=split_meta_dir,
+                          stage="inference", preload=preload)
+            if val_split
+            else None
+        )
     logger.info("train chunks: %d, val chunks: %s", len(train_data),
                 len(val_data) if val_data is not None else "-")
 
@@ -99,6 +149,7 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
         joint_transform=joint_t,
         feature_transform=feat_t,
         seed=seed,
+        scaler=scaler,
     )
 
     resume_path = ckpt.latest_checkpoint(cfg.dir.model.checkpoint) if resume else None

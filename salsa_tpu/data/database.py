@@ -205,8 +205,13 @@ class SeldDatabase:
         test_chunk_hop_len_s: float = 60.1,
         scaler_channels: int | None = None,
         max_file_len_s: float = 60.0,
+        store=None,
     ):
-        self.store = FeatureStore(feature_root_dir, audio_format)
+        # `store` injection lets fused raw-wav mode reuse this loader with
+        # features extracted on-device at startup (data/wav_database.py's
+        # MemoryFeatureStore) instead of an HDF5 tree
+        self.store = store if store is not None else FeatureStore(
+            feature_root_dir, audio_format)
         self.gt_meta_root_dir = gt_meta_root_dir
         self.audio_format = audio_format
         self.n_classes = n_classes

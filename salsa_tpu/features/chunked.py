@@ -1,0 +1,249 @@
+"""Fused per-chunk feature extraction for raw-waveform training.
+
+SURVEY §7's architecture stance: do NOT port the reference's offline-HDF5 design
+(salsa_feature_extraction.py:265-391) — stream raw waveforms through feature
+extraction inside the training graph. Serving already has this (pipeline.py runs
+wav -> prediction in one jit over whole clips); this module supplies the missing
+training half: extracting ONE 8-s chunk's features, bit-matching what slicing the
+full-clip feature map would give, so the fused path trains on exactly the data the
+offline path would.
+
+Two clip-global dependencies make per-chunk extraction non-trivial for SALSA:
+
+  1. the covariance context: each frame's spatial covariance spans ±n_hopframes
+     neighbor frames, and the reference wrap-pads the WHOLE clip over frames
+     (salsa_feature_extraction.py:43) — so a chunk at the clip edge borrows frames
+     from the opposite end. Handled by slicing the chunk's frames contiguously and
+     fetching the 2*n_hopframes context frames individually at wrap-corrected
+     offsets (all dynamic_slice — no gather).
+  2. the noise-floor tracker: a strict frame recurrence from clip frame 0
+     (salsa_feature_extraction.py:63-93). Handled by checkpointing the tracker
+     state (floor, countdown) at every chunk start in ONE setup scan per clip
+     (`salsa_tracker_checkpoints`), then resuming the scan mid-clip inside the
+     train step.
+
+SALSA-Lite/IPD features are frame-local (no covariance window, no tracker), so
+their chunk extraction is plain windowed extraction.
+
+Known bounded deviation: for clips SHORTER than the chunk window, the last <=
+n_hopframes valid frames' covariance context can include frames past the clip's
+final STFT frame; the offline path wraps those to the clip start while this path
+reads the zero-padded tail. Clips >= chunk length (all TNSSE material) are exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from salsa_tpu.dsp.filterbank import high_freq_compression_matrix
+from salsa_tpu.dsp.stft import (
+    _windowed_dft_matrices,
+    frame_signal,
+    power_to_db,
+)
+from salsa_tpu.features.salsa import (
+    SalsaParams,
+    eig_features_from_padded,
+    noise_floor_scan,
+    tracking_magspec,
+    tracker_init_state,
+)
+from salsa_tpu.features.salsa_lite import SalsaLiteParams, SPEED_OF_SOUND
+
+
+def pad_waveform(wave: np.ndarray, n_fft: int) -> np.ndarray:
+    """Host-side librosa-style center padding (reflect n_fft//2 per side), so the
+    in-graph framing can use plain offsets: frame t = padded[t*hop : t*hop+n_fft]."""
+    pad = n_fft // 2
+    return np.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+
+
+def n_full_frames(n_samples: int, hop_length: int) -> int:
+    """STFT frame count of the UNTRIMMED clip (center=True): 1 + n_samples//hop.
+    The reference wrap-pads at this length, not at the label-trimmed length."""
+    return 1 + n_samples // hop_length
+
+
+def _dft_frames(frames: jnp.ndarray, n_fft: int, win_length: int) -> jnp.ndarray:
+    """(..., n_fft) sample frames -> (..., n_bins) complex spectra via the same
+    windowed-DFT matmul stft() uses (bit-matching the full-clip path)."""
+    cos_mat, sin_mat = _windowed_dft_matrices(n_fft, win_length)
+    return lax.complex(frames @ jnp.asarray(cos_mat), frames @ jnp.asarray(sin_mat))
+
+
+def _chunk_spectra(wave_padded: jnp.ndarray, n_full: jnp.ndarray, f0: jnp.ndarray,
+                   chunk_len: int, n_ctx: int, n_fft: int, hop: int,
+                   win_length: int):
+    """STFT of chunk frames f0..f0+chunk_len-1 plus n_ctx context frames per side.
+
+    wave_padded: (C, S_pad) center-padded waveform; n_full: scalar untrimmed frame
+    count (wrap modulus); f0: scalar chunk start frame.
+    Returns (Xmain, Xpad): (C, chunk_len, n_bins) and (C, chunk_len + 2*n_ctx,
+    n_bins) complex — Xpad carries the wrap-corrected context frames.
+    """
+    n_ch = wave_padded.shape[0]
+    main_sz = (chunk_len - 1) * hop + n_fft
+    main = lax.dynamic_slice(wave_padded, (0, f0 * hop), (n_ch, main_sz))
+    frames_main = frame_signal(main, n_fft, hop)              # (C, L, n_fft)
+    Xmain = _dft_frames(frames_main, n_fft, win_length)       # (C, L, bins)
+    if n_ctx == 0:
+        return Xmain, Xmain
+
+    ctx_idx = jnp.concatenate([
+        f0 + jnp.arange(-n_ctx, 0), f0 + chunk_len + jnp.arange(0, n_ctx)])
+    ctx_idx = jnp.mod(ctx_idx, n_full)                        # wrap like reference
+    ctx = jnp.stack([
+        lax.dynamic_slice(wave_padded, (0, ctx_idx[i] * hop), (n_ch, n_fft))
+        for i in range(2 * n_ctx)
+    ], axis=1)                                                # (C, 2*n_ctx, n_fft)
+    Xctx = _dft_frames(ctx, n_fft, win_length)                # (C, 2*n_ctx, bins)
+    Xpad = jnp.concatenate([Xctx[:, :n_ctx], Xmain, Xctx[:, n_ctx:]], axis=1)
+    return Xmain, Xpad
+
+
+def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int):
+    """Fused chunk extractor for SALSA (FOA/MIC).
+
+    Returns fn(wave_padded, n_full, f0, floor0, countdown0) -> (7, chunk_len,
+    freq_dim) float32 features, equal to extract_salsa(full clip)[:, f0:f0+len]:
+      * wave_padded: (4, S_pad) center-padded float waveform;
+      * n_full: scalar int32 untrimmed STFT frame count of this clip;
+      * f0: scalar int32 chunk start (feature frames, clip-local);
+      * floor0/countdown0: (n_bins_band,) tracker state entering frame f0, from
+        `salsa_tracker_checkpoints`.
+    """
+    h = p.n_hopframes
+    W = jnp.asarray(high_freq_compression_matrix(p.n_fft, p.compress_high_freq))
+    win_length = p.win_length or p.n_fft
+
+    def fn(wave_padded, n_full, f0, floor0, countdown0):
+        Xmain, Xpad = _chunk_spectra(
+            wave_padded, n_full, f0, chunk_len, h, p.n_fft, p.hop_length, win_length)
+        power = jnp.abs(Xmain) ** 2
+        log_spec = power_to_db(jnp.einsum("ctb,fb->ctf", power, W))
+
+        band = jnp.transpose(Xpad[:, :, p.lower_bin : p.upper_bin], (2, 1, 0))
+        mag = tracking_magspec(band, h, chunk_len)
+        _, sig_mask = noise_floor_scan(mag, (floor0, countdown0))
+        if not p.is_tracking:
+            sig_mask = jnp.ones_like(sig_mask, dtype=bool)
+        eig = eig_features_from_padded(band, sig_mask, p)     # (3, bins_band, L)
+        eig = jnp.transpose(eig, (0, 2, 1))                   # (3, L, bins_band)
+        pad_width = p.freq_dim - (p.upper_bin - p.lower_bin)
+        eig_full = jnp.pad(eig, ((0, 0), (0, 0), (0, pad_width)))
+        return jnp.concatenate([log_spec, eig_full], axis=0)
+
+    return fn
+
+
+def make_salsa_lite_chunk_fn(p: SalsaLiteParams, chunk_len: int):
+    """Fused chunk extractor for SALSA-Lite / SALSA-IPD (frame-local features).
+
+    Returns fn(wave_padded, n_full, f0) -> (7, chunk_len, n_features), equal to
+    extract_salsa_lite(full clip)[:, f0:f0+len]."""
+    win_length = p.win_length or p.n_fft
+
+    def fn(wave_padded, n_full, f0):
+        Xmain, _ = _chunk_spectra(
+            wave_padded, n_full, f0, chunk_len, 0, p.n_fft, p.hop_length, win_length)
+        log_specs = power_to_db(jnp.abs(Xmain) ** 2)
+        phase = jnp.angle(Xmain[1:] * jnp.conj(Xmain[0:1]))
+        if p.normalize == "ipd":
+            phase = phase / np.pi
+        else:
+            delta = 2.0 * np.pi * p.fs / (p.n_fft * SPEED_OF_SOUND)
+            freq_vector = np.arange(p.n_fft // 2 + 1, dtype=np.float32)
+            freq_vector[0] = 1.0
+            phase = phase / (delta * freq_vector)
+        log_specs = log_specs[:, :, p.lower_bin : p.cutoff_bin]
+        phase = phase[:, :, p.lower_bin : p.cutoff_bin]
+        keep = (np.arange(p.lower_bin, p.cutoff_bin) < p.upper_bin).astype(np.float32)
+        return jnp.concatenate([log_specs, phase * keep], axis=0)
+
+    return fn
+
+
+FUSED_FEATURE_TYPES = ("salsa", "salsa_lite", "salsa_ipd")
+
+
+def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
+                         fs: int, n_fft: int, hop_length: int,
+                         win_length: int | None = None,
+                         fmin_doa: float = 50.0, fmax_doa: float | None = None,
+                         condition_number: float = 5.0, n_hopframes: int = 3,
+                         is_tracking: bool = True, compress_high_freq: bool = True,
+                         eig_method: str = "auto"):
+    """Uniform fused-chunk extractor factory (mirrors registry.make_extractor's
+    parameter defaults so fused features match the offline extractor's exactly).
+
+    Returns (fn, params) where fn(wave_padded, n_full, f0, floor0, cd0) ->
+    (7, chunk_len, F); tracker-free types ignore floor0/cd0. params is the
+    SalsaParams (or SalsaLiteParams) to feed salsa_tracker_checkpoints / shape
+    queries; its `needs_tracker` companion is returned as params having
+    is_tracking for salsa only.
+    """
+    if feature_type not in FUSED_FEATURE_TYPES:
+        raise ValueError(
+            f"training.from_wav supports feature types {FUSED_FEATURE_TYPES}; "
+            f"'{feature_type}' needs the offline extract CLI")
+    if eig_method == "auto":
+        eig_method = ("power" if jax.default_backend() == "cpu" or not is_tracking
+                      else "pallas")
+    if feature_type == "salsa":
+        if fmax_doa is None:
+            fmax_doa = 9000.0 if audio_format == "foa" else 4000.0
+        p = SalsaParams(
+            fs=fs, n_fft=n_fft, hop_length=hop_length,
+            win_length=win_length or n_fft, fmin_doa=fmin_doa, fmax_doa=fmax_doa,
+            audio_format=audio_format, condition_number=condition_number,
+            n_hopframes=n_hopframes, is_tracking=is_tracking,
+            compress_high_freq=compress_high_freq, eig_method=eig_method)
+        return make_salsa_chunk_fn(p, chunk_len), p
+    if fmax_doa is None:
+        fmax_doa = 2000.0
+    p = SalsaLiteParams(
+        fs=fs, n_fft=n_fft, hop_length=hop_length, win_length=win_length or n_fft,
+        fmin_doa=fmin_doa, fmax_doa=fmax_doa,
+        normalize="lite" if feature_type == "salsa_lite" else "ipd")
+    lite_fn = make_salsa_lite_chunk_fn(p, chunk_len)
+
+    def fn(wave_padded, n_full, f0, floor0, cd0):
+        return lite_fn(wave_padded, n_full, f0)
+
+    return fn, p
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _tracker_states_all(wave_padded: jnp.ndarray, p: SalsaParams):
+    """Per-frame tracker pre-states over a full clip: (floor, countdown) each of
+    shape (n_frames, n_bins_band)."""
+    n_full = 1 + (wave_padded.shape[1] - p.n_fft) // p.hop_length
+    frames = frame_signal(wave_padded, p.n_fft, p.hop_length)
+    X = _dft_frames(frames, p.n_fft, p.win_length or p.n_fft)
+    band = jnp.transpose(X[:, :, p.lower_bin : p.upper_bin], (2, 1, 0))
+    h = p.n_hopframes
+    Xpad = jnp.concatenate([band[:, -h:], band, band[:, :h]], axis=1)
+    mag = tracking_magspec(Xpad, h, n_full)
+    _, _, (floors, countdowns) = noise_floor_scan(
+        mag, tracker_init_state(mag), collect_states=True)
+    return floors, countdowns
+
+
+def salsa_tracker_checkpoints(
+    wave_padded: np.ndarray, starts: np.ndarray, p: SalsaParams
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tracker state entering each chunk-start frame of one clip.
+
+    wave_padded: (4, S_pad) center-padded float waveform (true length — no zero
+    tail); starts: (n_chunks,) clip-local chunk start frames.
+    Returns (floor, countdown) arrays of shape (n_chunks, n_bins_band).
+    One setup scan per clip; at ~19k x realtime extraction throughput this is
+    noise next to a single training epoch.
+    """
+    floors, countdowns = _tracker_states_all(jnp.asarray(wave_padded), p)
+    idx = jnp.asarray(starts, dtype=jnp.int32)
+    return np.asarray(floors[idx]), np.asarray(countdowns[idx])

@@ -71,13 +71,30 @@ class SalsaParams:
 # Noise-floor tracker (sequential over frames, vectorized over bins)
 # ---------------------------------------------------------------------------
 
-def noise_floor_mask(magspec: jnp.ndarray, snr_ratio: float = 1.5) -> jnp.ndarray:
-    """Run the up/down noise-floor tracker and return the "signal above noise" mask.
+def tracker_init_state(magspec: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Clip-start tracker state: floor = 0.5 * mean of the first 5 frames,
+    countdown = 3 (reference salsa_feature_extraction.py:30,58)."""
+    floor0 = 0.5 * jnp.mean(magspec[:, 0:5], axis=1)
+    countdown0 = jnp.full(magspec.shape[0], 3, dtype=jnp.int32)
+    return floor0, countdown0
 
-    magspec: (n_bins, n_frames) tracking magnitudes.
-    Returns bool (n_bins, n_frames). Matches reference
-    salsa_feature_extraction.py:28-93 (alpha=0.02, slow_scale=0.1, 3-frame countdown,
-    floor clamped at 1e-6, initial floor = 0.5 * mean of first 5 frames).
+
+def noise_floor_scan(
+    magspec: jnp.ndarray,
+    state0: tuple[jnp.ndarray, jnp.ndarray],
+    snr_ratio: float = 1.5,
+    collect_states: bool = False,
+):
+    """Up/down noise-floor tracker from an explicit initial state.
+
+    magspec: (n_bins, n_frames) tracking magnitudes; state0 = (floor, countdown)
+    per bin ENTERING the first frame. Returns (final_state, mask) — mask is the
+    bool (n_bins, n_frames) "signal above noise" indicator. With collect_states,
+    also returns the per-frame PRE-states (floor, countdown) of shape
+    (n_frames, n_bins): the state the tracker held before consuming each frame —
+    exactly what a mid-clip restart (fused chunked training) must resume from.
+    Matches reference salsa_feature_extraction.py:28-93 (alpha=0.02,
+    slow_scale=0.1, 3-frame countdown, floor clamped at 1e-6).
     """
     n_sig_frames = 3
     alpha = 0.02
@@ -85,25 +102,32 @@ def noise_floor_mask(magspec: jnp.ndarray, snr_ratio: float = 1.5) -> jnp.ndarra
     floor_up_slow = 1.0 + 0.1 * alpha
     floor_down = 1.0 - alpha
 
-    floor0 = 0.5 * jnp.mean(magspec[:, 0:5], axis=1)
-    countdown0 = jnp.full(magspec.shape[0], n_sig_frames, dtype=jnp.int32)
-
     def step(state, xf):
         floor, countdown = state
         above = xf > floor
-        countdown = jnp.where(above, countdown - 1, n_sig_frames)
-        neg = countdown < 0
+        new_countdown = jnp.where(above, countdown - 1, n_sig_frames)
+        neg = new_countdown < 0
         factor = jnp.where(
             above, jnp.where(neg, floor_up_slow, floor_up), floor_down
         )
-        floor = jnp.maximum(floor * factor, 1e-6)
-        sig = xf > snr_ratio * floor
-        return (floor, countdown), sig
+        new_floor = jnp.maximum(floor * factor, 1e-6)
+        sig = xf > snr_ratio * new_floor
+        out = (sig, (floor, countdown)) if collect_states else sig
+        return (new_floor, new_countdown), out
 
     # unroll amortizes the per-step scan overhead; the body is tiny (a few (bins,)
     # vector ops) so 16 steps fuse into one loop iteration nicely
-    _, mask = lax.scan(step, (floor0, countdown0), magspec.T, unroll=16)
-    return mask.T  # (n_bins, n_frames)
+    final, ys = lax.scan(step, state0, magspec.T, unroll=16)
+    if collect_states:
+        mask, pre_states = ys
+        return final, mask.T, pre_states
+    return final, ys.T  # mask: (n_bins, n_frames)
+
+
+def noise_floor_mask(magspec: jnp.ndarray, snr_ratio: float = 1.5) -> jnp.ndarray:
+    """Full-clip tracker mask (initial state derived from the first 5 frames)."""
+    _, mask = noise_floor_scan(magspec, tracker_init_state(magspec), snr_ratio)
+    return mask
 
 
 def tracking_magspec(Xpad: jnp.ndarray, n_hopframes: int, n_frames: int) -> jnp.ndarray:
@@ -224,22 +248,21 @@ def principal_eigs_power(R: jnp.ndarray, n_iters: int = 20) -> tuple[jnp.ndarray
 # Full SALSA spatial feature
 # ---------------------------------------------------------------------------
 
-def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarray:
-    """Normalized principal-eigenvector map for the DOA band.
+def eig_features_from_padded(
+    Xpad: jnp.ndarray, sig_mask: jnp.ndarray, params: SalsaParams
+) -> jnp.ndarray:
+    """Masked principal-eigenvector features from a context-padded STFT band.
 
-    X: (n_bins_band, n_frames, n_chans) complex STFT slice [lower_bin, upper_bin).
+    Xpad: (n_bins_band, n_frames + 2*n_hopframes, n_chans) complex — the chunk's
+    frames WITH their n_hopframes covariance context on both sides (full-clip
+    callers wrap-pad; the fused chunked trainer supplies real neighbor frames).
+    sig_mask: (n_bins_band, n_frames) noise-tracker output.
     Returns (n_chans-1, n_bins_band, n_frames) float features (zeros where invalid).
     """
     p = params
-    n_bins, n_frames, n_chans = X.shape
+    n_bins, n_padded, n_chans = Xpad.shape
     h = p.n_hopframes
-
-    Xpad = jnp.concatenate([X[:, -h:], X, X[:, :h]], axis=1)  # wrap pad over frames
-
-    mag = tracking_magspec(Xpad, h, n_frames)
-    sig_mask = noise_floor_mask(mag)  # (bins, frames) bool
-    if not p.is_tracking:
-        sig_mask = jnp.ones_like(sig_mask, dtype=bool)
+    n_frames = n_padded - 2 * h
 
     if p.eig_method == "pallas" and (not p.is_tracking or n_chans != 4):
         # the fused kernel is specialized to 4 channels with tracking; everything
@@ -253,9 +276,9 @@ def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarr
         from salsa_tpu.features.salsa_pallas import salsa_spatial_pallas
 
         return salsa_spatial_pallas(
-            X, sig_mask, n_hop=h, audio_format=p.audio_format,
+            Xpad, sig_mask, n_hop=h, audio_format=p.audio_format,
             condition_number=p.condition_number, lower_bin=p.lower_bin,
-            fs=p.fs, n_fft=p.n_fft,
+            fs=p.fs, n_fft=p.n_fft, x_prepadded=True,
             interpret=jax.default_backend() == "cpu",  # Mosaic needs real TPU
         )
 
@@ -285,6 +308,25 @@ def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarr
     feat = jnp.where(valid[..., None], feat, 0.0)
     feat = jnp.nan_to_num(feat, nan=0.0, posinf=0.0, neginf=0.0)
     return jnp.transpose(feat, (2, 0, 1))  # (C-1, bins, frames)
+
+
+def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarray:
+    """Normalized principal-eigenvector map for the DOA band (full clip).
+
+    X: (n_bins_band, n_frames, n_chans) complex STFT slice [lower_bin, upper_bin).
+    Returns (n_chans-1, n_bins_band, n_frames) float features (zeros where invalid).
+    """
+    p = params
+    n_frames = X.shape[1]
+    h = p.n_hopframes
+
+    Xpad = jnp.concatenate([X[:, -h:], X, X[:, :h]], axis=1)  # wrap pad over frames
+
+    mag = tracking_magspec(Xpad, h, n_frames)
+    sig_mask = noise_floor_mask(mag)  # (bins, frames) bool
+    if not p.is_tracking:
+        sig_mask = jnp.ones_like(sig_mask, dtype=bool)
+    return eig_features_from_padded(Xpad, sig_mask, p)
 
 
 def extract_salsa(wave: jnp.ndarray, params: SalsaParams) -> jnp.ndarray:

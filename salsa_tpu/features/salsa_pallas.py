@@ -223,7 +223,7 @@ def _kernel(xr_ref, xi_ref, mask_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_hop", "audio_format", "condition_number", "lower_bin",
-                     "fs", "n_fft", "interpret"),
+                     "fs", "n_fft", "x_prepadded", "interpret"),
 )
 def salsa_spatial_pallas(
     X: jnp.ndarray,
@@ -234,20 +234,25 @@ def salsa_spatial_pallas(
     lower_bin: int = 1,
     fs: int = 24000,
     n_fft: int = 512,
+    x_prepadded: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """X: (n_bins_band, n_frames, C) complex64 STFT band slice (un-padded).
+    """X: (n_bins_band, n_frames, C) complex64 STFT band slice — un-padded, or
+    (with x_prepadded) already carrying n_hop context frames on both sides (the
+    fused chunked-training path supplies real neighbor frames instead of wrap).
     sig_mask: (n_bins_band, n_frames) bool from the noise tracker.
     Returns (C-1, n_bins_band, n_frames) float32 features (zeros where invalid)."""
     from salsa_tpu.dsp.stft import frame_signal
 
-    n_bins, n_frames, _ = X.shape
+    n_bins = X.shape[0]
+    n_frames = X.shape[1] - (2 * n_hop if x_prepadded else 0)
     delta = 2.0 * np.pi * fs / (n_fft * SPEED_OF_SOUND)
     HALO = 128  # >= 2*n_hop, kept at a full lane tile so every block is aligned
 
     # wrap-pad time; pad bins/frames to tile multiples. Padded regions are masked
     # out through the sig_mask padding.
-    Xpad = jnp.concatenate([X[:, -n_hop:], X, X[:, :n_hop]], axis=1)
+    Xpad = X if x_prepadded else jnp.concatenate(
+        [X[:, -n_hop:], X, X[:, :n_hop]], axis=1)
     bins_pad = -(-n_bins // BIN_TILE) * BIN_TILE
     t_pad = -(-n_frames // T_TILE) * T_TILE
     Xpad = jnp.pad(

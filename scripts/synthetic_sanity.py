@@ -104,6 +104,10 @@ def main():
     ap.add_argument("--output-format", default="reg_xyz",
                     choices=["reg_xyz", "accdoa"])
     ap.add_argument("--accdoa-silent-weight", type=float, default=0.0)
+    ap.add_argument("--from-wav", action="store_true",
+                    help="fused raw-wav training: skip the offline extract "
+                         "stage entirely (features are computed inside the "
+                         "jitted train step; SURVEY §7)")
     args = ap.parse_args()
     fmt = args.audio_format
     feature_type = args.feature_type or ("salsa" if fmt == "foa" else "salsa_lite")
@@ -136,24 +140,28 @@ def main():
         f.write("filename\n" + "\n".join(names[-n_val:]))
     print(f"generated {args.clips} clips in {time.time()-t0:.1f}s")
 
-    # ---- extract features on device ----
+    # ---- extract features on device (skipped entirely with --from-wav) ----
     import yaml
     fmax_doa = {("foa", "salsa"): 9000, ("mic", "salsa"): 4000}.get(
         (fmt, feature_type), 2000
     )
-    data_cfg = {
-        "data_dir": data_dir, "feature_dir": os.path.join(root, "features"),
-        "data": {"format": fmt, "fs": FS, "n_fft": 512, "win_len": 512,
-                 "hop_len": 300, "fmin_doa": 50, "fmax_doa": fmax_doa},
-    }
-    cfg_path = os.path.join(root, "data.yml")
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(data_cfg, f)
-    from salsa_tpu.cli.extract import extract_features
-    t0 = time.time()
-    feature_dir = extract_features(cfg_path, feature_type=feature_type,
-                                   task="feature_scaler")
-    print(f"extraction: {time.time()-t0:.1f}s")
+    if args.from_wav:
+        feature_dir = os.path.join(root, "features_unused")
+        print("from_wav mode: no offline extraction stage")
+    else:
+        data_cfg = {
+            "data_dir": data_dir, "feature_dir": os.path.join(root, "features"),
+            "data": {"format": fmt, "fs": FS, "n_fft": 512, "win_len": 512,
+                     "hop_len": 300, "fmin_doa": 50, "fmax_doa": fmax_doa},
+        }
+        cfg_path = os.path.join(root, "data.yml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(data_cfg, f)
+        from salsa_tpu.cli.extract import extract_features
+        t0 = time.time()
+        feature_dir = extract_features(cfg_path, feature_type=feature_type,
+                                       task="feature_scaler")
+        print(f"extraction: {time.time()-t0:.1f}s")
 
     # ---- train ----
     n_in = {"melspec": 4}.get(feature_type, 10 if feature_type.endswith("gcc") else 7)
@@ -162,6 +170,7 @@ def main():
         "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir, "seed": args.seed,
         "mode": "crossval",
         "data": {"fs": FS, "n_fft": 512, "hop_len": 300, "audio_format": fmt,
+                 "fmin_doa": 50, "fmax_doa": fmax_doa,
                  "label_rate": LABEL_RATE, "train_chunk_len_s": 8,
                  "train_chunk_hop_len_s": 1.0, "test_chunk_len_s": CLIP_SECONDS,
                  "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
@@ -175,6 +184,7 @@ def main():
         },
         "training": {"train_batch_size": 16, "optimizer": "adam",
                      "accdoa_silent_weight": args.accdoa_silent_weight,
+                     "from_wav": args.from_wav,
                      "device_data": True, "device_augment": True,
                      "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
                                       "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
