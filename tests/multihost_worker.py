@@ -41,7 +41,7 @@ def build_problem():
     return data, cfg
 
 
-def run(n_epochs: int = 2) -> list[float]:
+def make_trainer():
     from salsa_tpu.models.seld import build_model
     from salsa_tpu.train.trainer import SeldTrainer
 
@@ -52,9 +52,37 @@ def run(n_epochs: int = 2) -> list[float]:
                  "freq_pool": "avg"},
         n_classes=3,
     )
-    trainer = SeldTrainer(model=model, cfg=cfg, train_data=data, val_data=None,
-                          gt_meta_dir=None, submission_dir="/tmp/salsa_mh", seed=0)
+    return SeldTrainer(model=model, cfg=cfg, train_data=data, val_data=None,
+                       gt_meta_dir=None, submission_dir="/tmp/salsa_mh", seed=0)
+
+
+def run(n_epochs: int = 2) -> list[float]:
+    trainer = make_trainer()
     return [float(trainer.train_epoch(e)["loss"]) for e in range(n_epochs)]
+
+
+def run_resume_phase(phase: str, ckpt_dir: str) -> list[float]:
+    """Crash-resume across REAL process restarts (VERDICT r2 #3): phase1 trains
+    epoch 0 and checkpoints; phase2 (a fresh process pair) restores through
+    SeldTrainer.restore — which must re-commit host leaves to the multi-process
+    mesh — and trains epoch 1."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from salsa_tpu.train import checkpoint as ckpt
+
+    trainer = make_trainer()
+    if phase == "1":
+        losses = [float(trainer.train_epoch(0)["loss"])]
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(ckpt_dir, "epoch000", trainer.state,
+                                 {"epoch": 0})
+        # all processes must see the file before anyone exits
+        multihost_utils.sync_global_devices("ckpt_written")
+        return losses
+    start_epoch = trainer.restore(os.path.join(ckpt_dir, "epoch000.msgpack"))
+    assert start_epoch == 1, start_epoch
+    return [float(trainer.train_epoch(start_epoch)["loss"])]
 
 
 def main():
@@ -67,12 +95,20 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SALSA_TEST_JIT_CACHE",
+                                     "/tmp/salsa_tpu_test_jit_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from salsa_tpu.parallel.distributed import initialize
 
     initialize()  # forms the 2-process global runtime from SALSA_* env vars
     assert jax.process_count() == int(os.environ["SALSA_NUM_PROCESSES"])
     assert len(jax.devices()) == 8, f"global devices: {len(jax.devices())}"
-    losses = run()
+    phase = os.environ.get("SALSA_MH_RESUME_PHASE")
+    if phase:
+        losses = run_resume_phase(phase, os.environ["SALSA_MH_CKPT_DIR"])
+    else:
+        losses = run()
     print(json.dumps({"pid": jax.process_index(), "losses": losses}), flush=True)
 
 

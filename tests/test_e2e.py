@@ -159,3 +159,97 @@ def test_fit_saves_checkpoints_and_resumes(synth_experiment):
     )
     final = trainer2.fit(resume_from=latest)
     assert int(final.step) == int(trainer.state.step)  # nothing left to train
+
+
+@pytest.mark.slow
+def test_2020_protocol_end_to_end(synth_experiment):
+    """eval_version '2020' through the FULL pipeline: train -> predict_split
+    writes 2020-format CSVs -> SELD2020 scorer (VERDICT r2 #6 — previously the
+    2020 path had unit-level parity only)."""
+    import copy
+
+    s = synth_experiment
+    cfg = copy.deepcopy(s.cfg)
+    cfg.eval_version = "2020"
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru", "decoder_size": 16},
+        n_classes=3,
+    )
+    trainer = SeldTrainer(
+        model=model, cfg=cfg, train_data=s.train_data, val_data=s.val_data,
+        gt_meta_dir=s.gt_dir, submission_dir=str(s.tmp / "out2020"), seed=5,
+    )
+    assert trainer.eval_version == "2020"
+    trainer.train_epoch(0)
+    scores = trainer.validate()
+    assert set(scores) == {"ER", "F1", "LE", "LR", "seld_error"}
+    assert np.isfinite(scores["LE"]) and 0 <= scores["LR"] <= 1
+
+    sub_dir = os.path.join(str(s.tmp / "out2020"), "_temp")
+    csvs = [f for f in os.listdir(sub_dir) if f.endswith(".csv")]
+    assert csvs
+    with open(os.path.join(sub_dir, csvs[0])) as f:
+        first = f.readline().strip()
+    if first:  # 2020 submission rows: frame, class, azi, ele (no track column)
+        assert len(first.split(",")) == 4, first
+
+
+@pytest.mark.slow
+def test_tta_predict_split_batched_matches_sequential(synth_experiment, tmp_path):
+    """Batched TTA (variants folded into the batch dim, VERDICT r2 #5): scores
+    match a per-variant sequential oracle loop, and val losses are reported
+    (previously skipped under TTA)."""
+    import jax.numpy as jnp
+
+    from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator
+    from salsa_tpu.train.tta import ChannelSwapTTA
+
+    s = synth_experiment
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru", "decoder_size": 16},
+        n_classes=3,
+    )
+    trainer = SeldTrainer(
+        model=model, cfg=s.cfg, train_data=s.train_data, val_data=s.val_data,
+        gt_meta_dir=s.gt_dir, submission_dir=str(tmp_path), seed=6,
+    )
+    trainer.train_epoch(0)
+    tta = ChannelSwapTTA("mic", 3, n_input_channels=7)
+
+    written = trainer.predict_split(s.val_data, str(tmp_path / "tta"), tta=tta)
+    assert written
+    # losses restored under TTA (identity variant)
+    assert trainer.last_val_losses and "val_loss" in trainer.last_val_losses
+
+    # sequential oracle: the pre-batching per-variant dispatch loop
+    ds = SeldChunkDataset(s.val_data)
+    params, stats = trainer.state.params, trainer.state.batch_stats
+    probs, doas = [], []
+    bs = min(max(s.val_data.chunks_per_clip, 8), max(1, len(ds)))
+    for x, _sed, _doa, _names, n_real in batch_iterator(ds, bs, pad_to_batch=True):
+        ev_acc = doa_acc = None
+        for i in range(len(tta)):
+            xt = tta.transform_features(np.asarray(x), i)
+            ev, dd, _ = trainer._eval_step(params, stats, jnp.asarray(xt))
+            dd = tta.inverse_doa(np.asarray(dd), i)
+            ev_acc = np.asarray(ev) if ev_acc is None else ev_acc + np.asarray(ev)
+            doa_acc = dd if doa_acc is None else doa_acc + dd
+        probs.append((ev_acc / len(tta))[:n_real])
+        doas.append((doa_acc / len(tta))[:n_real])
+
+    from salsa_tpu.train.submission import write_classwise_csv
+
+    oracle_dir = tmp_path / "tta_oracle"
+    oracle_dir.mkdir()
+    # single-clip val split: one chunk -> direct write
+    write_classwise_csv(
+        str(oracle_dir / written[0]), probs[0][0], doas[0][0], 3,
+        sed_threshold=trainer.sed_threshold,
+        max_frames=int(s.val_data.clip_label_frames[0]),
+        version=trainer.eval_version)
+
+    batched = (tmp_path / "tta" / written[0]).read_text()
+    oracle = (oracle_dir / written[0]).read_text()
+    assert batched == oracle

@@ -55,3 +55,49 @@ def test_two_process_training_matches_single_process():
     # and it matches a single-process 8-device run of the identical problem
     expected = run_single_process()
     np.testing.assert_allclose(outs[0]["losses"], expected, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """VERDICT r2 #3: train epoch 0 on 2 processes -> checkpoint -> RESTART both
+    workers -> resume -> epoch-1 loss equals the uninterrupted 2-process run.
+    Exercises SeldTrainer.restore's mesh re-commit of restored host leaves
+    (make_replicated) across a real process boundary."""
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def launch(phase: str) -> list[dict]:
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env.update({
+                "SALSA_COORDINATOR": f"127.0.0.1:{port}",
+                "SALSA_NUM_PROCESSES": "2",
+                "SALSA_PROCESS_ID": str(pid),
+                "SALSA_MH_RESUME_PHASE": phase,
+                "SALSA_MH_CKPT_DIR": ckpt_dir,
+                "PYTHONPATH": REPO,
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        return outs
+
+    phase1 = launch("1")
+    assert os.path.isfile(os.path.join(ckpt_dir, "epoch000.msgpack"))
+    phase2 = launch("2")
+    np.testing.assert_allclose(phase2[0]["losses"], phase2[1]["losses"], rtol=1e-6)
+
+    # epoch losses across the restart == uninterrupted single-process run (the
+    # shuffle is a pure function of (seed, epoch), so the comparison is exact
+    # up to device-count reduction order)
+    expected = run_single_process()
+    np.testing.assert_allclose(phase1[0]["losses"] + phase2[0]["losses"],
+                               expected, rtol=1e-4)
