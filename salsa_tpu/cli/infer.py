@@ -64,6 +64,8 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
             extractor = make_extractor(
                 cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
                 hop_length=d.hop_len, win_length=d.get("win_len", d.n_fft),
+                n_mels=d.get("n_mels", 128), fmin=d.get("fmin", 50),
+                fmax=d.get("fmax", None),
                 fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
             )
             store = extract_split_to_store(

@@ -85,14 +85,19 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
         extractor = make_extractor(
             cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
             hop_length=d.hop_len, win_length=d.get("win_len", d.n_fft),
+            n_mels=d.get("n_mels", 128), fmin=d.get("fmin", 50),
+            fmax=d.get("fmax", None),
             fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
             eig_method=cfg.training.get("eig_method", "auto"),
         )
         db.n_fft = d.n_fft
+        from salsa_tpu.features.chunked import required_pad
+
         train_data = load_wav_split(
             db, train_split, audio_dir, split_meta_dir=split_meta_dir,
             wav_dtype=cfg.training.get("wav_dtype", "float32"),
             n_channels=extractor.n_channels, n_features=extractor.n_features,
+            pad=required_pad(cfg.feature_type, d.n_fft),
         )
         scaler = fit_scaler_from_waves(extractor, train_data.clip_wavs,
                                        extractor.n_spec_channels)

@@ -63,6 +63,7 @@ class WavSplitData(SplitData):
 
     waves: np.ndarray | None = None
     wav_scale: float = 1.0                 # dequantization factor (1/32768 for int16)
+    wav_pad: int = 0                       # center-pad samples per side
     clip_of_chunk: np.ndarray | None = None      # chunk -> clip index
     within_clip_start: np.ndarray | None = None  # chunk -> clip-local frame start
     clip_full_frames: np.ndarray | None = None   # untrimmed STFT frames (wrap modulus)
@@ -87,16 +88,20 @@ def load_wav_split(
     wav_dtype: str = "float32",
     n_channels: int = 7,
     n_features: int = 200,
+    pad: int | None = None,
 ) -> WavSplitData:
     """Build a train-stage WavSplitData whose chunk/label tables exactly match
     db.load_split(split, stage='fit') — db is a SeldDatabase carrying the
-    chunking geometry (fs, hop, chunk lengths, label rate, n_classes)."""
+    chunking geometry (fs, hop, chunk lengths, label rate, n_classes). `pad`
+    is the center-pad per side (chunked.required_pad; default n_fft//2)."""
     names = split_filenames(split, split_meta_dir)
     chunk_len, chunk_hop = db.train_chunk_len, db.train_chunk_hop
     label_chunk_len = chunk_len // db.label_upsample
 
     clip_wavs = load_clip_waves(names, audio_dir, db.fs)
     n_fft = getattr(db, "n_fft", 512)
+    if pad is None:
+        pad = n_fft // 2
 
     seds, doas, names_per_chunk = [], [], []
     f_starts, l_starts = [], []
@@ -146,7 +151,7 @@ def load_wav_split(
         names_per_chunk.extend([name] * len(starts_f))
 
     # resident tensor: center-pad each clip, zero-pad to the longest
-    padded = [pad_waveform(w, n_fft) for w in clip_wavs]
+    padded = [pad_waveform(w, n_fft, pad) for w in clip_wavs]
     s_max = max(p.shape[1] for p in padded)
     n_ch = padded[0].shape[0]
     if wav_dtype == "int16":
@@ -178,6 +183,7 @@ def load_wav_split(
         clip_label_frames=np.asarray(clip_label_frames, dtype=np.int64),
         waves=waves,
         wav_scale=wav_scale,
+        wav_pad=pad,
         clip_of_chunk=np.asarray(clip_of_chunk, dtype=np.int32),
         within_clip_start=np.asarray(within_clip_start, dtype=np.int32),
         clip_full_frames=np.asarray(clip_full, dtype=np.int32),
@@ -186,41 +192,83 @@ def load_wav_split(
     )
 
 
+def _length_groups(items: list, length_of) -> list[list[int]]:
+    """Indices grouped by equal length, preserving order within groups."""
+    groups: dict[int, list[int]] = {}
+    for i, it in enumerate(items):
+        groups.setdefault(length_of(it), []).append(i)
+    return list(groups.values())
+
+
 def fit_scaler_from_waves(extractor, clip_wavs: list[np.ndarray],
-                          n_spec_channels: int) -> tuple[np.ndarray, np.ndarray]:
+                          n_spec_channels: int,
+                          batch_size: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Device-extract each train clip once and fit the normalization scaler —
     the reference's compute_scaler (salsa_feature_extraction.py:204-262) without
-    the HDF5 round trip. Per-clip (C, F) sum/sumsq are reduced on device; only
-    those tiny arrays cross the host boundary."""
+    the HDF5 round trip. Clips are BATCHED per dispatch (the remote-dispatch
+    harness charges seconds per call, so per-clip calls would dominate startup);
+    per-batch (C, F) sum/sumsq reduce on device and only those tiny arrays
+    cross the host boundary."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def clip_stats(wave):
-        feat = extractor.fn(wave)[:n_spec_channels]
-        return (jnp.sum(feat, axis=1), jnp.sum(feat.astype(jnp.float32) ** 2, axis=1),
-                feat.shape[1])
+    def batch_stats(waves):  # (B, n_ch, S)
+        feats = jax.vmap(extractor.fn)(waves)[:, :n_spec_channels]
+        return (jnp.sum(feats, axis=(0, 2)),
+                jnp.sum(feats.astype(jnp.float32) ** 2, axis=(0, 2)))
 
     scaler = StreamingScaler(n_spec_channels)
-    for wav in clip_wavs:
-        s, ss, n = clip_stats(jnp.asarray(wav))
-        scaler.count += int(n)
-        s, ss = np.asarray(s, dtype=np.float64), np.asarray(ss, dtype=np.float64)
-        if scaler._sum is None:
-            scaler._sum, scaler._sumsq = s, ss
-        else:
-            scaler._sum += s
-            scaler._sumsq += ss
+    hop = _extractor_hop(extractor)
+    for group in _length_groups(clip_wavs, lambda w: w.shape[1]):
+        for start in range(0, len(group), batch_size):
+            idx = group[start : start + batch_size]
+            stacked = jnp.asarray(np.stack([clip_wavs[i] for i in idx]))
+            s, ss = batch_stats(stacked)
+            n_frames = 1 + clip_wavs[idx[0]].shape[1] // hop
+            scaler.count += n_frames * len(idx)
+            s = np.asarray(s, dtype=np.float64)
+            ss = np.asarray(ss, dtype=np.float64)
+            if scaler._sum is None:
+                scaler._sum, scaler._sumsq = s, ss
+            else:
+                scaler._sum += s
+                scaler._sumsq += ss
     return scaler.finalize()
 
 
+def _extractor_hop(extractor) -> int:
+    """Hop length out of a FeatureExtractor's partial-bound fn."""
+    fn = extractor.fn
+    wrapped = getattr(fn, "__wrapped__", fn)
+    kw = getattr(wrapped, "keywords", None) or {}
+    if "hop_length" in kw:
+        return kw["hop_length"]
+    p = kw.get("params")
+    if p is not None:
+        return p.hop_length
+    raise ValueError("cannot determine extractor hop length")
+
+
 def extract_split_to_store(extractor, names: list[str], audio_dir: str, fs: int,
-                           scaler) -> MemoryFeatureStore:
+                           scaler, batch_size: int = 8) -> MemoryFeatureStore:
     """Device-extract a (small) split's full-clip features into a
     MemoryFeatureStore, so validation/inference reuse the standard SplitData
-    path with zero disk I/O."""
-    clips = {}
-    for name in names:
-        audio, _ = read_wav(os.path.join(audio_dir, name + ".wav"), target_fs=fs)
-        clips[name] = np.asarray(extractor.fn(audio))
+    path with zero disk I/O. Clips batch per dispatch (equal lengths grouped)."""
+    import jax
+
+    waves = [read_wav(os.path.join(audio_dir, n + ".wav"), target_fs=fs)[0]
+             for n in names]
+    batched_fn = jax.jit(jax.vmap(extractor.fn))
+    clips: dict[str, np.ndarray] = {}
+    for group in _length_groups(waves, lambda w: w.shape[1]):
+        for start in range(0, len(group), batch_size):
+            idx = group[start : start + batch_size]
+            stacked = np.stack([waves[i] for i in idx])
+            if len(idx) < batch_size:  # pad to the static batch shape
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], batch_size - len(idx), 0)])
+            feats = np.asarray(batched_fn(stacked))
+            for j, i in enumerate(idx):
+                clips[names[i]] = feats[j]
     return MemoryFeatureStore(clips, scaler)

@@ -55,11 +55,22 @@ from salsa_tpu.features.salsa import (
 from salsa_tpu.features.salsa_lite import SalsaLiteParams, SPEED_OF_SOUND
 
 
-def pad_waveform(wave: np.ndarray, n_fft: int) -> np.ndarray:
+def pad_waveform(wave: np.ndarray, n_fft: int, pad: int | None = None) -> np.ndarray:
     """Host-side librosa-style center padding (reflect n_fft//2 per side), so the
-    in-graph framing can use plain offsets: frame t = padded[t*hop : t*hop+n_fft]."""
-    pad = n_fft // 2
+    in-graph framing can use plain offsets: frame t = padded[t*hop : t*hop+n_fft].
+    `pad` overrides the amount (GCC features frame a double-length FFT and need
+    big_n_fft//2); extractors whose own n_fft is smaller add a pad offset."""
+    pad = n_fft // 2 if pad is None else pad
     return np.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+
+
+def required_pad(feature_type: str, n_fft: int) -> int:
+    """Center-pad the resident waveform must carry for this feature type."""
+    if feature_type.endswith("gcc"):
+        ncorr = 2 * n_fft - 1
+        big_n_fft = int(2 ** np.ceil(np.log2(ncorr)))
+        return big_n_fft // 2
+    return n_fft // 2
 
 
 def n_full_frames(n_samples: int, hop_length: int) -> int:
@@ -77,17 +88,19 @@ def _dft_frames(frames: jnp.ndarray, n_fft: int, win_length: int) -> jnp.ndarray
 
 def _chunk_spectra(wave_padded: jnp.ndarray, n_full: jnp.ndarray, f0: jnp.ndarray,
                    chunk_len: int, n_ctx: int, n_fft: int, hop: int,
-                   win_length: int):
+                   win_length: int, pad_off: int = 0):
     """STFT of chunk frames f0..f0+chunk_len-1 plus n_ctx context frames per side.
 
     wave_padded: (C, S_pad) center-padded waveform; n_full: scalar untrimmed frame
-    count (wrap modulus); f0: scalar chunk start frame.
+    count (wrap modulus); f0: scalar chunk start frame. pad_off: extra samples of
+    center pad the resident wave carries beyond this extractor's n_fft//2 (frame
+    t then starts at pad_off + t*hop).
     Returns (Xmain, Xpad): (C, chunk_len, n_bins) and (C, chunk_len + 2*n_ctx,
     n_bins) complex — Xpad carries the wrap-corrected context frames.
     """
     n_ch = wave_padded.shape[0]
     main_sz = (chunk_len - 1) * hop + n_fft
-    main = lax.dynamic_slice(wave_padded, (0, f0 * hop), (n_ch, main_sz))
+    main = lax.dynamic_slice(wave_padded, (0, pad_off + f0 * hop), (n_ch, main_sz))
     frames_main = frame_signal(main, n_fft, hop)              # (C, L, n_fft)
     Xmain = _dft_frames(frames_main, n_fft, win_length)       # (C, L, bins)
     if n_ctx == 0:
@@ -97,7 +110,8 @@ def _chunk_spectra(wave_padded: jnp.ndarray, n_full: jnp.ndarray, f0: jnp.ndarra
         f0 + jnp.arange(-n_ctx, 0), f0 + chunk_len + jnp.arange(0, n_ctx)])
     ctx_idx = jnp.mod(ctx_idx, n_full)                        # wrap like reference
     ctx = jnp.stack([
-        lax.dynamic_slice(wave_padded, (0, ctx_idx[i] * hop), (n_ch, n_fft))
+        lax.dynamic_slice(wave_padded, (0, pad_off + ctx_idx[i] * hop),
+                          (n_ch, n_fft))
         for i in range(2 * n_ctx)
     ], axis=1)                                                # (C, 2*n_ctx, n_fft)
     Xctx = _dft_frames(ctx, n_fft, win_length)                # (C, 2*n_ctx, bins)
@@ -167,13 +181,72 @@ def make_salsa_lite_chunk_fn(p: SalsaLiteParams, chunk_len: int):
     return fn
 
 
-FUSED_FEATURE_TYPES = ("salsa", "salsa_lite", "salsa_ipd")
+def make_projected_chunk_fn(proj, chunk_len: int, n_fft: int, hop: int,
+                            win_length: int, pad_off: int, with_iv: bool):
+    """Chunk extractor for melspec / melspeciv / linspeciv: log projected spec
+    (+ FOA intensity vectors) — frame-local, so a plain windowed extraction."""
+    from salsa_tpu.features.specs import foa_intensity_vectors, log_projected_spec
+
+    proj = jnp.asarray(proj)
+
+    def fn(wave_padded, n_full, f0, floor0, cd0):
+        Xmain, _ = _chunk_spectra(wave_padded, n_full, f0, chunk_len, 0,
+                                  n_fft, hop, win_length, pad_off)
+        spec = log_projected_spec(Xmain, proj)
+        if not with_iv:
+            return spec
+        iv = foa_intensity_vectors(Xmain, proj)
+        return jnp.concatenate([spec, iv], axis=0)
+
+    return fn
+
+
+def make_gcc_chunk_fn(proj, chunk_len: int, n_fft: int, hop: int,
+                      win_length: int, pad_total: int, n_out: int, freq_filter):
+    """Chunk extractor for linspecgcc / melspecgcc: log projected spec + GCC-PHAT
+    lags. The GCC branch frames a double-length FFT, so the resident waveform
+    carries big_n_fft//2 of center pad (required_pad) and the n_fft spec branch
+    uses a pad offset."""
+    from salsa_tpu.dsp.stft import irfft_selected
+    from salsa_tpu.features.specs import log_projected_spec
+
+    proj = jnp.asarray(proj)
+    ncorr = 2 * n_fft - 1
+    big_n_fft = int(2 ** np.ceil(np.log2(ncorr)))
+    lags = tuple(range(big_n_fft - n_out // 2, big_n_fft)) + tuple(range(n_out // 2))
+
+    def fn(wave_padded, n_full, f0, floor0, cd0):
+        Xmain, _ = _chunk_spectra(wave_padded, n_full, f0, chunk_len, 0,
+                                  n_fft, hop, win_length,
+                                  pad_total - n_fft // 2)
+        spec = log_projected_spec(Xmain, proj)
+        P, _ = _chunk_spectra(wave_padded, n_full, f0, chunk_len, 0,
+                              big_n_fft, hop, win_length,
+                              pad_total - big_n_fft // 2)
+        if freq_filter is not None:
+            P = P * jnp.asarray(freq_filter)
+        n_ch = P.shape[0]
+        sig_idx = np.array([m for n in range(n_ch) for m in range(n + 1, n_ch)])
+        ref_idx = np.array([n for n in range(n_ch) for m in range(n + 1, n_ch)])
+        R = P[sig_idx] * jnp.conj(P[ref_idx])
+        phase = jnp.where(jnp.abs(R) > 0,
+                          R / jnp.maximum(jnp.abs(R), 1e-30), 1.0 + 0.0j)
+        gcc = irfft_selected(phase, big_n_fft, lags)
+        return jnp.concatenate([spec, gcc], axis=0)
+
+    return fn
+
+
+FUSED_FEATURE_TYPES = ("salsa", "salsa_lite", "salsa_ipd", "melspec",
+                       "melspeciv", "linspeciv", "linspecgcc", "melspecgcc")
 
 
 def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
                          fs: int, n_fft: int, hop_length: int,
                          win_length: int | None = None,
                          fmin_doa: float = 50.0, fmax_doa: float | None = None,
+                         n_mels: int = 128, fmin: float = 50.0,
+                         fmax: float | None = None,
                          condition_number: float = 5.0, n_hopframes: int = 3,
                          is_tracking: bool = True, compress_high_freq: bool = True,
                          eig_method: str = "auto"):
@@ -190,6 +263,37 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
         raise ValueError(
             f"training.from_wav supports feature types {FUSED_FEATURE_TYPES}; "
             f"'{feature_type}' needs the offline extract CLI")
+    win_len = win_length or n_fft
+    pad_total = required_pad(feature_type, n_fft)
+    if feature_type in ("melspec", "melspeciv", "linspeciv"):
+        if feature_type == "linspeciv":
+            proj = high_freq_compression_matrix(n_fft, compress_high_freq)
+        else:
+            from salsa_tpu.dsp.filterbank import mel_filterbank
+
+            proj = mel_filterbank(fs, n_fft, n_mels, fmin,
+                                  min(fmax or fs // 2, fs // 2))
+        fn = make_projected_chunk_fn(proj, chunk_len, n_fft, hop_length, win_len,
+                                     pad_total - n_fft // 2,
+                                     with_iv=feature_type != "melspec")
+        return fn, None
+    if feature_type in ("linspecgcc", "melspecgcc"):
+        from salsa_tpu.features.specs import gcc_phat_lowpass_filter
+
+        if feature_type == "linspecgcc":
+            proj = high_freq_compression_matrix(n_fft, compress_high_freq)
+            n_out, filt = proj.shape[0], None
+        else:
+            from salsa_tpu.dsp.filterbank import mel_filterbank
+
+            proj = mel_filterbank(fs, n_fft, n_mels, fmin,
+                                  min(fmax or fs // 2, fs // 2))
+            ncorr = 2 * n_fft - 1
+            big_n_fft = int(2 ** np.ceil(np.log2(ncorr)))
+            n_out, filt = n_mels, gcc_phat_lowpass_filter(fs, big_n_fft)
+        fn = make_gcc_chunk_fn(proj, chunk_len, n_fft, hop_length, win_len,
+                               pad_total, n_out, filt)
+        return fn, None
     if eig_method == "auto":
         eig_method = ("power" if jax.default_backend() == "cpu" or not is_tracking
                       else "pallas")
@@ -231,6 +335,51 @@ def _tracker_states_all(wave_padded: jnp.ndarray, p: SalsaParams):
     _, _, (floors, countdowns) = noise_floor_scan(
         mag, tracker_init_state(mag), collect_states=True)
     return floors, countdowns
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _tracker_checkpoints_batch(waves_padded: jnp.ndarray, starts: jnp.ndarray,
+                               p: SalsaParams):
+    """Batched tracker checkpoints: waves_padded (B, C, S_pad) equal-length
+    clips, starts (B, K) per-clip chunk-start frames (pad rows with repeats).
+    Returns (floor, countdown) of shape (B, K, n_bins_band) in ONE dispatch —
+    the remote harness charges seconds per call, so per-clip calls would
+    dominate from_wav startup on large corpora."""
+    def one(wave, st):
+        floors, countdowns = _tracker_states_all.__wrapped__(wave, p)
+        return floors[st], countdowns[st]
+
+    return jax.vmap(one, in_axes=(0, 0))(waves_padded, starts)
+
+
+def salsa_tracker_checkpoints_batch(
+    waves_padded: np.ndarray, starts_per_clip: list[np.ndarray], p: SalsaParams,
+    batch_size: int = 8,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Host wrapper over _tracker_checkpoints_batch for equal-length clips:
+    pads each clip's start list to the max count, batches clips per dispatch,
+    and trims the results. Returns [(floor, countdown)] per clip."""
+    n = len(starts_per_clip)
+    k_max = max(len(s) for s in starts_per_clip)
+    starts_mat = np.stack([
+        np.pad(np.asarray(s, np.int32), (0, k_max - len(s)), mode="edge")
+        for s in starts_per_clip])
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    for b0 in range(0, n, batch_size):
+        idx = slice(b0, min(b0 + batch_size, n))
+        nb = idx.stop - idx.start
+        w = jnp.asarray(waves_padded[idx])
+        st = jnp.asarray(starts_mat[idx])
+        if nb < batch_size:  # keep the dispatch shape static
+            reps = batch_size - nb
+            w = jnp.concatenate([w, jnp.repeat(w[-1:], reps, 0)])
+            st = jnp.concatenate([st, jnp.repeat(st[-1:], reps, 0)])
+        fl, cd = _tracker_checkpoints_batch(w, st, p)
+        fl, cd = np.asarray(fl), np.asarray(cd)
+        for j in range(nb):
+            k = len(starts_per_clip[b0 + j])
+            out.append((fl[j, :k], cd[j, :k]))
+    return out
 
 
 def salsa_tracker_checkpoints(

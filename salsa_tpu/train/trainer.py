@@ -626,10 +626,7 @@ class SeldTrainer:
         waveforms + per-chunk in-graph feature extraction. See
         make_wav_resident_train_step and features/chunked.py."""
         from salsa_tpu.data.wav_database import WavSplitData
-        from salsa_tpu.features.chunked import (
-            make_chunk_extractor,
-            salsa_tracker_checkpoints,
-        )
+        from salsa_tpu.features.chunked import make_chunk_extractor
         from salsa_tpu.features.registry import feature_n_spec_channels
 
         if not isinstance(train_data, WavSplitData):
@@ -645,26 +642,37 @@ class SeldTrainer:
             fs=d.fs, n_fft=d.n_fft, hop_length=d.hop_len,
             win_length=d.get("win_len", None),
             fmin_doa=d.get("fmin_doa", 50), fmax_doa=d.get("fmax_doa", None),
+            n_mels=d.get("n_mels", 128), fmin=d.get("fmin", 50),
+            fmax=d.get("fmax", None),
             eig_method=cfg.training.get("eig_method", "auto"),
         )
         n_chunks = len(train_data)
         needs_tracker = cfg.feature_type == "salsa" and fparams.is_tracking
         if needs_tracker:
+            from salsa_tpu.features.chunked import salsa_tracker_checkpoints_batch
+
             nb = fparams.upper_bin - fparams.lower_bin
             floor_ck = np.zeros((n_chunks, nb), np.float32)
             cd_ck = np.zeros((n_chunks, nb), np.int32)
-            n_fft = d.n_fft
             t0 = time.time()
+            # batched per equal clip length — dispatches cost seconds on the
+            # remote harness, so per-clip calls would dominate startup.
+            # Dequantized RESIDENT samples, not the original float wave: the
+            # checkpoint must match the in-step tracker input bit-for-bit.
+            by_len: dict[int, list[int]] = {}
             for ci, wav in enumerate(train_data.clip_wavs):
-                sel = train_data.clip_of_chunk == ci
-                s_pad = wav.shape[1] + 2 * (n_fft // 2)
-                # dequantized resident samples, NOT the original float wave — the
-                # checkpoint must match the in-step tracker input bit-for-bit
-                w = (train_data.waves[ci, :, :s_pad].astype(np.float32)
-                     * train_data.wav_scale)
-                f, c = salsa_tracker_checkpoints(
-                    w, train_data.within_clip_start[sel], fparams)
-                floor_ck[sel], cd_ck[sel] = f, c
+                by_len.setdefault(wav.shape[1], []).append(ci)
+            for L, cis in by_len.items():
+                s_pad = L + 2 * train_data.wav_pad
+                waves_grp = (train_data.waves[cis][:, :, :s_pad]
+                             .astype(np.float32) * train_data.wav_scale)
+                starts_list = [
+                    train_data.within_clip_start[train_data.clip_of_chunk == ci]
+                    for ci in cis]
+                for ci, (f, c) in zip(cis, salsa_tracker_checkpoints_batch(
+                        waves_grp, starts_list, fparams)):
+                    sel = train_data.clip_of_chunk == ci
+                    floor_ck[sel], cd_ck[sel] = f, c
             logger.info("from_wav: tracker checkpoints for %d clips in %.1fs",
                         len(train_data.clip_wavs), time.time() - t0)
         else:

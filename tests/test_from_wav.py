@@ -82,10 +82,42 @@ def test_salsa_lite_chunk_matches_full_clip(rng):
                                    atol=2e-4, rtol=1e-4, err_msg=f"f0={f0}")
 
 
-def test_make_chunk_extractor_rejects_offline_only_types():
-    with pytest.raises(ValueError, match="offline extract"):
-        make_chunk_extractor("melspecgcc", "mic", 160, fs=FS, n_fft=N_FFT,
+def test_make_chunk_extractor_rejects_unknown_types():
+    with pytest.raises(ValueError, match="from_wav supports"):
+        make_chunk_extractor("notafeature", "mic", 160, fs=FS, n_fft=N_FFT,
                              hop_length=HOP)
+
+
+@pytest.mark.parametrize("feature_type,audio_format", [
+    ("melspec", "foa"), ("melspeciv", "foa"), ("linspeciv", "foa"),
+    ("linspecgcc", "mic"), ("melspecgcc", "mic"),
+])
+def test_classic_chunk_matches_full_clip(rng, feature_type, audio_format):
+    """The classic (frame-local) feature family's fused chunk extraction equals
+    slicing the full-clip feature map — including the GCC variants' deeper
+    (big_n_fft//2) center padding."""
+    from salsa_tpu.features.chunked import required_pad
+    from salsa_tpu.features.registry import make_extractor
+
+    wave = synth_wave(rng, 4.0)
+    ex = make_extractor(feature_type, audio_format, fs=FS, n_fft=N_FFT,
+                        hop_length=HOP, n_mels=64)
+    full = np.asarray(ex(wave))
+
+    chunk_len = 160
+    n_full = n_full_frames(wave.shape[1], HOP)
+    pad = required_pad(feature_type, N_FFT)
+    wp = pad_waveform(wave, N_FFT, pad)
+    fn, _ = make_chunk_extractor(feature_type, audio_format, chunk_len,
+                                 fs=FS, n_fft=N_FFT, hop_length=HOP, n_mels=64)
+    fn = jax.jit(fn)
+    zero = jnp.zeros(1)
+    for f0 in (0, 97, n_full - chunk_len - 1):
+        feat = np.asarray(fn(jnp.asarray(wp), jnp.int32(n_full), jnp.int32(f0),
+                             zero, zero))
+        np.testing.assert_allclose(
+            feat, full[:, f0 : f0 + chunk_len, :], atol=2e-4, rtol=1e-4,
+            err_msg=f"{feature_type} chunk at f0={f0}")
 
 
 # ---------------------------------------------------------------------------
@@ -234,5 +266,10 @@ def test_from_wav_tables_and_loss_trace_match_feature_store(tmp_path, rng):
         trace = [trainer.train_epoch(e)["loss"] for e in range(2)]
         losses[from_wav] = trace
 
-    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4,
+    # first epoch: identical params + (near-)identical features -> tight equality;
+    # later epochs compound ~1e-7 feature/scaler rounding through the optimizer,
+    # so the trajectory-level bound is looser
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-5,
+                               err_msg=f"{losses}")
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-3,
                                err_msg=f"{losses}")
