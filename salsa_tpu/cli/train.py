@@ -107,10 +107,32 @@ def train(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "
                                    "feature_scaler.npz")
         os.makedirs(os.path.dirname(scaler_path), exist_ok=True)
         np.savez(scaler_path, mean=scaler[0], std=scaler[1])
-        logger.info("from_wav: %d train clips resident (%s, %.2f GB), scaler fit "
-                    "on device -> %s", len(train_data.clip_wavs),
-                    train_data.waves.dtype, train_data.waves.nbytes / 1e9,
-                    scaler_path)
+        mode = cfg.training.get("from_wav_mode", "fused")
+        if mode == "precompute":
+            # best-of-both: device-extract the train split ONCE at startup into
+            # an in-memory store and run the plain resident path — full
+            # feature-fed step speed with still zero disk footprint. The fused
+            # mode (default) keeps waveforms resident instead, trading ~12%
+            # step time for a smaller device footprint and no host-RAM feature
+            # copy (BENCH.md "Fused raw-wav training").
+            train_store = extract_split_to_store(
+                extractor, split_filenames(train_split, split_meta_dir),
+                audio_dir, d.fs, scaler)
+            pre_db = build_database_from_cfg(cfg, store=train_store)
+            train_data = pre_db.load_split(train_split,
+                                           split_meta_dir=split_meta_dir,
+                                           stage="fit")
+            cfg.training.from_wav = False
+            cfg.training.device_data = True
+            logger.info("from_wav precompute: %d train clips extracted on "
+                        "device (%.2f GB features) -> resident path",
+                        len(train_data.unique_clip_names),
+                        train_data.features.nbytes / 1e9)
+        else:
+            logger.info("from_wav: %d train clips resident (%s, %.2f GB), "
+                        "scaler fit on device -> %s",
+                        len(train_data.clip_wavs), train_data.waves.dtype,
+                        train_data.waves.nbytes / 1e9, scaler_path)
         val_data = None
         if val_split:
             val_store = extract_split_to_store(

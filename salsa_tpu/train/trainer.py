@@ -157,6 +157,22 @@ def make_resident_train_step(model, n_classes: int, loss_weight, output_format: 
     return jax.jit(resident_step, donate_argnums=(0,))
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: the stable API (jax>=0.8) takes check_vma,
+    the experimental one check_rep — both disabled (the window gathers are
+    per-shard local by construction)."""
+    try:
+        from jax import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def make_sharded_resident_train_step(
     model, n_classes: int, loss_weight, output_format: str, interp_ratio: float,
     chunk_len: int, label_chunk_len: int, remat: bool = False, augment_fn=None,
@@ -177,14 +193,7 @@ def make_sharded_resident_train_step(
     Step signature: (state, features_by_clip, sed_targets, doa_targets,
     clip_local (K,B), f0 (K,B), l_starts (K,B), rng).
     """
-    from functools import partial as _partial
-
     from jax.sharding import PartitionSpec as P
-
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
 
     base_step = make_train_step(model, n_classes, loss_weight, output_format,
                                 interp_ratio, remat=remat, augment_fn=augment_fn,
@@ -195,14 +204,16 @@ def make_sharded_resident_train_step(
 
         batch_sharding = NamedSharding(mesh, P("data"))
 
-    @_partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
-              out_specs=P("data"), check_rep=False)
-    def gather_local(f_shard, clip_local, f0):
+    def _gather_local(f_shard, clip_local, f0):
         def one(ci, s):
             clip = jax.lax.dynamic_index_in_dim(f_shard, ci, axis=0, keepdims=False)
             return jax.lax.dynamic_slice(
                 clip, (0, s, 0), (clip.shape[0], chunk_len, clip.shape[2]))
         return jax.vmap(one)(clip_local, f0)
+
+    gather_local = _shard_map(
+        _gather_local, mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"))
 
     def gather_windows(arr, starts, length):
         slice_fn = lambda s: jax.lax.dynamic_slice(
@@ -242,7 +253,7 @@ def make_wav_resident_train_step(
     model, n_classes: int, loss_weight, output_format: str, interp_ratio: float,
     chunk_len: int, label_chunk_len: int, chunk_feature_fn, scaler,
     n_spec_channels: int, wav_scale: float, remat: bool = False, augment_fn=None,
-    mesh=None, accdoa_silent_weight: float = 0.0,
+    mesh=None, accdoa_silent_weight: float = 0.0, clip_sharded: bool = False,
 ):
     """Fused raw-waveform training step (SURVEY §7): the split lives on device as
     center-padded waveforms; every step receives only chunk-index vectors and runs
@@ -258,14 +269,20 @@ def make_wav_resident_train_step(
     Signature (after state): waves (n_clips, n_ch, S_pad), sed/doa targets,
     tables = (clip_of_chunk, f0, n_full, n_valid, l_starts, floor_ck, cd_ck)
     all indexed by global chunk id, chunk_idx (B,) or (K, B), rng.
+
+    clip_sharded=True composes with training.device_data_shard: the waves
+    tensor is sharded over the data axis on the clip axis, tables[0] holds
+    SHARD-LOCAL clip indices, and the extraction runs under shard_map so every
+    device reads only its own clips (the stratified epoch order guarantees each
+    batch column block addresses its own shard).
     """
     base_step = make_train_step(model, n_classes, loss_weight, output_format,
                                 interp_ratio, remat=remat, augment_fn=augment_fn,
                                 accdoa_silent_weight=accdoa_silent_weight)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     batch_sharding = None
     if mesh is not None and mesh.shape.get("data", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         batch_sharding = NamedSharding(mesh, P("data"))
 
     mean = jnp.asarray(scaler[0])
@@ -276,23 +293,36 @@ def make_wav_resident_train_step(
             arr, (s, 0), (length, arr.shape[1]))
         return jax.vmap(slice_fn)(starts)
 
-    def one_step(state, waves, sed_targets, doa_targets, tables, chunk_idx, rng):
-        clip_of_chunk, f0s, n_fulls, n_valids, l_starts, floor_ck, cd_ck = tables
-
-        def extract(ci):
-            clip = clip_of_chunk[ci]
-            wave = jax.lax.dynamic_index_in_dim(waves, clip, axis=0, keepdims=False)
+    def extract_batch(waves, clips, f0s, n_fulls, n_valids, floors, cds):
+        def extract(clip, f0, nf, nv, fl, cd):
+            wave = jax.lax.dynamic_index_in_dim(waves, clip, axis=0,
+                                                keepdims=False)
             wave = wave.astype(jnp.float32) * wav_scale
-            feat = chunk_feature_fn(wave, n_fulls[ci], f0s[ci],
-                                    floor_ck[ci], cd_ck[ci])
+            feat = chunk_feature_fn(wave, nf, f0, fl, cd)
             head = (feat[:n_spec_channels] - mean) / std
             feat = jnp.concatenate([head, feat[n_spec_channels:]], axis=0)
             # short-clip pad region is true zeros in the feature-store path
             # (database.py pads AFTER normalization) — reproduce exactly
-            ok = (jnp.arange(chunk_len) < n_valids[ci]).astype(feat.dtype)
+            ok = (jnp.arange(chunk_len) < nv).astype(feat.dtype)
             return feat * ok[None, :, None]
 
-        x = jax.vmap(extract)(chunk_idx)
+        return jax.vmap(extract)(clips, f0s, n_fulls, n_valids, floors, cds)
+
+    if clip_sharded:
+        extract_sharded = _shard_map(
+            extract_batch, mesh, in_specs=(P("data"),) + (P("data"),) * 6,
+            out_specs=P("data"))
+
+    def one_step(state, waves, sed_targets, doa_targets, tables, chunk_idx, rng):
+        clip_of_chunk, f0s, n_fulls, n_valids, l_starts, floor_ck, cd_ck = tables
+        args = (clip_of_chunk[chunk_idx], f0s[chunk_idx], n_fulls[chunk_idx],
+                n_valids[chunk_idx], floor_ck[chunk_idx], cd_ck[chunk_idx])
+        if clip_sharded:
+            args = tuple(jax.lax.with_sharding_constraint(a, batch_sharding)
+                         for a in args)
+            x = extract_sharded(waves, *args)
+        else:
+            x = extract_batch(waves, *args)
         sed = gather_windows(sed_targets, l_starts[chunk_idx], label_chunk_len)
         doa = gather_windows(doa_targets, l_starts[chunk_idx], label_chunk_len)
         if batch_sharding is not None:
@@ -679,15 +709,56 @@ class SeldTrainer:
             floor_ck = np.zeros((n_chunks, 1), np.float32)
             cd_ck = np.zeros((n_chunks, 1), np.int32)
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         rep = lambda a: replicate(self.mesh, jnp.asarray(a))
-        self._dev_waves = rep(train_data.waves)
+        n_data = self.mesh.shape.get("data", 1)
+        clip_sharded = (cfg.training.get("device_data_shard", False)
+                        and n_data > 1)
+        clip_of_chunk = train_data.clip_of_chunk.astype(np.int32)
+        if clip_sharded:
+            # waves sharded over the data axis on the clip axis (VERDICT r2 #4
+            # applied to the from_wav flagship): per-device HBM = 1/n_data of
+            # the corpus; epoch order becomes shard-stratified (_epoch_order)
+            n_clips = train_data.waves.shape[0]
+            if n_clips < n_data:
+                raise ValueError(
+                    f"device_data_shard needs >= {n_data} clips; have {n_clips}")
+            n_clips_pad = -(-n_clips // n_data) * n_data
+            waves = train_data.waves
+            if n_clips_pad > n_clips:
+                waves = np.concatenate([waves, np.zeros(
+                    (n_clips_pad - n_clips,) + waves.shape[1:], waves.dtype)])
+            m = n_clips_pad // n_data
+            self._dev_waves = jax.device_put(
+                jnp.asarray(waves), NamedSharding(self.mesh, P("data")))
+            shard_of_chunk = clip_of_chunk // m
+            self._shard_chunk_ids = [np.where(shard_of_chunk == d)[0]
+                                     for d in range(n_data)]
+            self._n_shards = n_data
+            if self.batch_size % n_data:
+                raise ValueError(f"batch {self.batch_size} not divisible by "
+                                 f"data axis {n_data} (device_data_shard)")
+            per = self.batch_size // n_data
+            balanced = min(len(s) // per for s in self._shard_chunk_ids)
+            if balanced < self.steps_per_epoch:
+                logger.warning(
+                    "device_data_shard: unbalanced clip shards cap the epoch at "
+                    "%d steps (was %d)", balanced, self.steps_per_epoch)
+                self.steps_per_epoch = max(1, balanced)
+            clip_table = (clip_of_chunk % m).astype(np.int32)  # shard-local
+            logger.info("from_wav shard: %d clips over %d shards (%.2f GB/dev)",
+                        n_clips, n_data, waves.nbytes / n_data / 1e9)
+        else:
+            self._dev_waves = rep(train_data.waves)
+            clip_table = clip_of_chunk
         self._dev_sed = rep(train_data.sed_targets)
         self._dev_doa = rep(train_data.doa_targets)
         n_valid = np.minimum(
             train_data.clip_trimmed_frames[train_data.clip_of_chunk]
             - train_data.within_clip_start, chunk_len).astype(np.int32)
         self._wav_tables = tuple(rep(a) for a in (
-            train_data.clip_of_chunk.astype(np.int32),
+            clip_table,
             train_data.within_clip_start.astype(np.int32),
             train_data.clip_full_frames[train_data.clip_of_chunk].astype(np.int32),
             n_valid,
@@ -700,12 +771,10 @@ class SeldTrainer:
             chunk_fn, scaler, feature_n_spec_channels(cfg.feature_type),
             train_data.wav_scale,
             remat=cfg.training.get("remat", False), augment_fn=augment_fn,
-            mesh=self.mesh,
+            mesh=self.mesh, clip_sharded=clip_sharded,
             accdoa_silent_weight=float(
                 cfg.training.get("accdoa_silent_weight", 0.0)),
         )
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         self._starts_sharding = NamedSharding(self.mesh, P(None, "data"))
 
     # ------------------------------------------------------------------
@@ -817,7 +886,9 @@ class SeldTrainer:
     def train_epoch(self, epoch: int) -> dict:
         count = 0
         pending = []
-        if getattr(self, "_shard_chunk_ids", None) is not None:
+        # order matters: from_wav with device_data_shard sets _shard_chunk_ids
+        # (stratified order) but dispatches through the wav step
+        if not self.from_wav and getattr(self, "_shard_chunk_ids", None) is not None:
             order = self._epoch_order(epoch)
             K = int(self.cfg.training.get("steps_per_dispatch", 8))
             usable = min(self.steps_per_epoch * self.batch_size, len(order))
@@ -841,7 +912,7 @@ class SeldTrainer:
         if self.from_wav:
             order = self._epoch_order(epoch)
             K = int(self.cfg.training.get("steps_per_dispatch", 8))
-            usable = self.steps_per_epoch * self.batch_size
+            usable = min(self.steps_per_epoch * self.batch_size, len(order))
             i = 0
             while i < usable:
                 k = min(K, (usable - i) // self.batch_size)

@@ -273,3 +273,131 @@ def test_from_wav_tables_and_loss_trace_match_feature_store(tmp_path, rng):
                                err_msg=f"{losses}")
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-3,
                                err_msg=f"{losses}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["fused", "precompute"])
+def test_from_wav_cli_train_then_infer(tmp_path, rng, mode):
+    """CLI-level from_wav workflow: train (no feature store anywhere on disk,
+    scaler persisted into the experiment tree) -> infer (device re-extraction of
+    the split through MemoryFeatureStore). mode=precompute extracts the train
+    split once at startup and runs the plain resident path."""
+    import yaml
+
+    root = str(tmp_path)
+    names, meta_dir = _write_synth_corpus(root, rng)
+    # val split: reuse the last clip
+    with open(os.path.join(meta_dir, "train.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(names[:-1]))
+    for split in ("val", "test"):
+        with open(os.path.join(meta_dir, f"{split}.csv"), "w") as f:
+            f.write("filename\n" + names[-1])
+
+    exp_cfg = {
+        "name": "fw", "feature_type": "salsa",
+        "gt_meta_root_dir": root, "split_meta_dir": meta_dir, "seed": 3,
+        "mode": "crossval",
+        "data": {"fs": E2E_FS, "n_fft": E2E_NFFT, "hop_len": E2E_HOP,
+                 "audio_format": "foa", "fmax_doa": 3000.0, "label_rate": 10,
+                 "train_chunk_len_s": 1.6, "train_chunk_hop_len_s": 0.8,
+                 "test_chunk_len_s": 4.0, "test_chunk_hop_len_s": 4.1,
+                 "n_classes": 3, "output_format": "reg_xyz",
+                 "max_file_len_s": 4.0},
+        "model": {
+            "encoder": {"name": "PannResNet22", "n_input_channels": 7},
+            "decoder": {"name": "SeldDecoder", "decoder_type": "gru",
+                        "decoder_size": 16, "freq_pool": "avg"},
+        },
+        "training": {"train_batch_size": 4, "max_epochs": 1,
+                     "from_wav": True, "from_wav_mode": mode,
+                     "eig_method": "power",
+                     "steps_per_dispatch": 1, "val_interval": 1,
+                     "lr_scheduler": {"milestones": [0, 1], "lrs": [1e-3, 1e-3],
+                                      "moms": [0.9, 0.9]}},
+        "sed_threshold": 0.3, "doa_threshold": 20, "eval_version": "2021",
+    }
+    cfg_path = os.path.join(root, "exp.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(exp_cfg, f)
+
+    from salsa_tpu.cli.infer import inference
+    from salsa_tpu.cli.train import train
+
+    trainer = train(cfg_path, exp_group_dir=os.path.join(root, "out"),
+                    exp_suffix="_fw")
+    assert trainer.from_wav == (mode == "fused")
+    if mode == "precompute":
+        assert trainer.device_data  # routed to the plain resident path
+    # no HDF5 feature files anywhere under the workspace
+    for dirpath, _dirs, files in os.walk(root):
+        assert not any(f.endswith(".h5") for f in files), (dirpath, files)
+    scaler_npz = os.path.join(trainer.cfg.dir.model.best, "..",
+                              "feature_scaler.npz")
+    assert os.path.isfile(os.path.normpath(scaler_npz))
+
+    results = inference(cfg_path, exp_group_dir=os.path.join(root, "out"),
+                        exp_suffix="_fw", splits=["test"])
+    assert "test" in results and np.isfinite(results["test"]["seld_error"])
+
+
+@pytest.mark.slow
+def test_from_wav_sharded_matches_replicated(tmp_path, rng):
+    """device_data_shard composed with from_wav: waves sharded over the data
+    axis on the clip axis + shard_map extraction == replicated from_wav on the
+    identical (stratified) batches; per-device wave footprint is 1/n_data."""
+    from salsa_tpu.data.wav_database import fit_scaler_from_waves, load_wav_split
+    from salsa_tpu.features.registry import make_extractor
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.train.trainer import SeldTrainer
+    from salsa_tpu.utils.config import AttrDict
+
+    root = str(tmp_path)
+    names, meta_dir = _write_synth_corpus(root, rng, n_clips=4)
+    extractor = make_extractor("salsa", "foa", fs=E2E_FS, n_fft=E2E_NFFT,
+                               hop_length=E2E_HOP, fmax_doa=3000.0,
+                               eig_method="power")
+    db = _geometry_db(os.path.join(root, "nofeat"), root)
+    wav_split = load_wav_split(db, "train", os.path.join(root, "foa_dev"),
+                               split_meta_dir=meta_dir, wav_dtype="float32",
+                               n_channels=7, n_features=extractor.n_features)
+    scaler = fit_scaler_from_waves(extractor, wav_split.clip_wavs, 4)
+
+    def make_cfg(shard: bool) -> AttrDict:
+        return AttrDict({
+            "feature_type": "salsa",
+            "data": {"fs": E2E_FS, "n_fft": E2E_NFFT, "hop_len": E2E_HOP,
+                     "n_classes": 3, "fmax_doa": 3000.0, "audio_format": "foa",
+                     "label_rate": 10, "output_format": "reg_xyz",
+                     "max_file_len_s": 4.0},
+            "training": {"train_batch_size": 4, "max_epochs": 1,
+                         "from_wav": True, "device_data_shard": shard,
+                         "eig_method": "power", "steps_per_dispatch": 1,
+                         "lr_scheduler": {"milestones": [0, 1],
+                                          "lrs": [1e-3, 1e-3],
+                                          "moms": [0.9, 0.9]}},
+            "eval_version": "2021", "sed_threshold": 0.3,
+        })
+
+    def make_trainer(shard: bool) -> SeldTrainer:
+        model = build_model(
+            encoder={"name": "PannResNet22", "n_input_channels": 7},
+            decoder={"name": "SeldDecoder", "decoder_type": "gru",
+                     "decoder_size": 16, "freq_pool": "avg"},
+            n_classes=3)
+        return SeldTrainer(model=model, cfg=make_cfg(shard),
+                           train_data=wav_split, val_data=None,
+                           gt_meta_dir=None, submission_dir=str(tmp_path / "s"),
+                           seed=9, scaler=scaler)
+
+    sharded = make_trainer(True)
+    n_data = sharded.mesh.shape["data"]
+    assert n_data > 1
+    arr = sharded._dev_waves
+    assert arr.addressable_shards[0].data.shape[0] == arr.shape[0] // n_data
+    sh_losses = [float(sharded.train_epoch(0)["loss"])]
+
+    replicated = make_trainer(False)
+    replicated._epoch_order = sharded._epoch_order
+    rp_losses = [float(replicated.train_epoch(0)["loss"])]
+    np.testing.assert_allclose(sh_losses, rp_losses, rtol=1e-5,
+                               err_msg=f"{sh_losses} vs {rp_losses}")
