@@ -64,6 +64,8 @@ class DoubleConvBlock(nn.Module):
             return max_pool_2x2(x)
         if self.pool_type == "avg+max":
             return avg_pool_2x2(x) + max_pool_2x2(x)
+        if self.pool_type == "none":  # caller handles pooling (PannResNet22TPU stem)
+            return x
         raise ValueError(f"unknown pool type {self.pool_type}")
 
 

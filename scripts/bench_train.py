@@ -26,6 +26,9 @@ def main():
                          "extraction from device-resident waveforms) instead of "
                          "the feature-fed step")
     ap.add_argument("--eig-method", default="auto")
+    ap.add_argument("--encoder", default="PannResNet22",
+                    help="encoder registry name (PannResNet22TPU = lane-aligned "
+                         "stem variant)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +38,7 @@ def main():
     from salsa_tpu.train.trainer import make_train_step
 
     model = build_model(
-        encoder={"name": "PannResNet22", "n_input_channels": 7,
+        encoder={"name": args.encoder, "n_input_channels": 7,
                  **({"compute_dtype": "bfloat16"} if args.bf16 else {})},
         decoder={"name": "SeldDecoder", "decoder_type": "bigru", "decoder_size": 256,
                  **({"compute_dtype": "bfloat16"} if args.bf16 else {})},

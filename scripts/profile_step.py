@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--encoder", default="PannResNet22",
+                    help="encoder registry name (PannResNet22TPU = lane-aligned "
+                         "stem variant)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +53,7 @@ def main():
         return (time.perf_counter() - t0) / ITERS * 1000
 
     model = build_model(
-        encoder={"name": "PannResNet22", "n_input_channels": 7,
+        encoder={"name": args.encoder, "n_input_channels": 7,
                  "compute_dtype": "bfloat16"},
         decoder={"name": "SeldDecoder", "decoder_type": "bigru", "decoder_size": 256,
                  "compute_dtype": "bfloat16"},
@@ -105,8 +108,10 @@ def main():
     mm_ms = timeit(jax.jit(lambda a, b: (a @ b).astype(jnp.float32).sum()), a, b)
     out["peak_matmul_tflops"] = round(2 * 8192**3 / 1e9 / mm_ms, 0)
 
-    # effective rate: conv FLOPs of this model ~= 1.4 TF fwd (x3 for fwd+bwd)
-    flops_fwd_g = 1400 * B / 32
+    # effective rate: conv FLOPs of this model ~= 1.4 TF fwd (x3 for fwd+bwd);
+    # the TPU stem runs its two convs (10.5 GF/sample) at quarter resolution,
+    # dropping ~7.9 GF/sample of the parity encoder's ~43.75
+    flops_fwd_g = (1400 if args.encoder == "PannResNet22" else 1149) * B / 32
     out["effective_tflops_fwd_bwd"] = round(3 * flops_fwd_g / out["fwd_bwd_ms"], 0)
     print(json.dumps(out))
 

@@ -108,6 +108,9 @@ def main():
                     help="fused raw-wav training: skip the offline extract "
                          "stage entirely (features are computed inside the "
                          "jitted train step; SURVEY §7)")
+    ap.add_argument("--encoder", default="PannResNet22",
+                    help="encoder registry name (PannResNet22TPU = lane-aligned "
+                         "stem variant, beyond-reference)")
     args = ap.parse_args()
     fmt = args.audio_format
     feature_type = args.feature_type or ("salsa" if fmt == "foa" else "salsa_lite")
@@ -176,7 +179,7 @@ def main():
                  "test_chunk_hop_len_s": CLIP_SECONDS + 0.1, "n_classes": N_CLASSES,
                  "output_format": args.output_format, "max_file_len_s": CLIP_SECONDS},
         "model": {
-            "encoder": {"name": "PannResNet22", "n_input_channels": n_in,
+            "encoder": {"name": args.encoder, "n_input_channels": n_in,
                         "compute_dtype": "bfloat16"},
             "decoder": {"name": "SeldDecoder", "decoder_type": "bigru",
                         "decoder_size": 128, "freq_pool": "avg",

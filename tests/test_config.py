@@ -40,3 +40,49 @@ def test_apply_overrides():
     assert cfg.flag is True
     with pytest.raises(ValueError):
         apply_overrides(cfg, ["no_equals_sign"])
+
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@pytest.mark.parametrize("fname", sorted(os.listdir(CONFIG_DIR)))
+def test_shipped_configs_are_valid(fname):
+    """Every shipped experiment config parses and its names resolve against the
+    live registries (feature bank, encoder/decoder zoo), with the encoder's
+    input-channel count matching the feature type it names."""
+    from salsa_tpu.features.registry import (
+        FEATURE_REGISTRY, feature_n_channels)
+    from salsa_tpu.models import build_model
+    from salsa_tpu.models.encoders import ENCODERS
+    from salsa_tpu.models.decoders import DECODERS
+
+    cfg = load_config(os.path.join(CONFIG_DIR, fname))
+    if "model" not in cfg:
+        # feature-extraction data config (cli/extract.py surface)
+        for key in ("data_dir", "feature_dir", "data"):
+            assert key in cfg, f"{fname}: missing top-level key '{key}'"
+        assert cfg.data.format in ("foa", "mic")
+        assert cfg.data.fs > 0 and cfg.data.n_fft > 0 and cfg.data.hop_len > 0
+        return
+    for key in ("name", "feature_type", "data", "model", "training"):
+        assert key in cfg, f"{fname}: missing top-level key '{key}'"
+    assert cfg.feature_type in FEATURE_REGISTRY
+    assert cfg.data.audio_format in ("foa", "mic")
+    assert cfg.data.output_format in ("reg_xyz", "accdoa")
+
+    enc = cfg.model.encoder
+    dec = cfg.model.decoder
+    assert enc.name in ENCODERS, f"{fname}: unknown encoder {enc.name}"
+    assert dec.name in DECODERS, f"{fname}: unknown decoder {dec.name}"
+    assert enc.n_input_channels == feature_n_channels(cfg.feature_type)
+    # construction through the same registry path the train CLI uses
+    build_model(encoder=enc.to_dict(), decoder=dec.to_dict(),
+                n_classes=cfg.data.n_classes,
+                output_format=cfg.data.output_format)
+
+    sched = cfg.training.lr_scheduler
+    assert len(sched.milestones) == len(sched.lrs) == len(sched.moms)
+    assert sched.milestones == sorted(sched.milestones)
+    if cfg.training.get("from_wav"):
+        # fused mode must not point at a feature store
+        assert cfg.get("feature_root_dir") in (None, "")
