@@ -147,6 +147,15 @@ def irfft_selected(spec: jnp.ndarray, n_fft: int, out_idx: tuple) -> jnp.ndarray
     return jnp.real(spec) @ jnp.asarray(C) + jnp.imag(spec) @ jnp.asarray(S)
 
 
+def cabs2(z: jnp.ndarray) -> jnp.ndarray:
+    """|z|^2 as re^2 + im^2 — skips the sqrt/square round-trip of jnp.abs(z)**2
+    AND keeps the complex tensor out of the graph when its only other consumers
+    are real()/imag() (XLA then never materializes the complex64 pack). Differs
+    from abs-then-square by <=1 ulp; only used ahead of continuous maps
+    (power_to_db), never ahead of threshold comparisons."""
+    return jnp.square(jnp.real(z)) + jnp.square(jnp.imag(z))
+
+
 def power_to_db(
     power: jnp.ndarray,
     ref: float = 1.0,

@@ -42,14 +42,15 @@ from jax import lax
 from salsa_tpu.dsp.filterbank import high_freq_compression_matrix
 from salsa_tpu.dsp.stft import (
     _windowed_dft_matrices,
+    cabs2,
     frame_signal,
     power_to_db,
 )
 from salsa_tpu.features.salsa import (
     SalsaParams,
-    eig_features_from_padded,
+    eig_features_from_planes,
     noise_floor_scan,
-    tracking_magspec,
+    tracking_magspec_planes,
     tracker_init_state,
 )
 from salsa_tpu.features.salsa_lite import SalsaLiteParams, SPEED_OF_SOUND
@@ -137,15 +138,16 @@ def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int):
     def fn(wave_padded, n_full, f0, floor0, countdown0):
         Xmain, Xpad = _chunk_spectra(
             wave_padded, n_full, f0, chunk_len, h, p.n_fft, p.hop_length, win_length)
-        power = jnp.abs(Xmain) ** 2
+        power = cabs2(Xmain)
         log_spec = power_to_db(jnp.einsum("ctb,fb->ctf", power, W))
 
-        band = jnp.transpose(Xpad[:, :, p.lower_bin : p.upper_bin], (2, 1, 0))
-        mag = tracking_magspec(band, h, chunk_len)
+        xr_b = jnp.transpose(jnp.real(Xpad)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
+        xi_b = jnp.transpose(jnp.imag(Xpad)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
+        mag = tracking_magspec_planes(xr_b[0], xi_b[0], h, chunk_len)
         _, sig_mask = noise_floor_scan(mag, (floor0, countdown0))
         if not p.is_tracking:
             sig_mask = jnp.ones_like(sig_mask, dtype=bool)
-        eig = eig_features_from_padded(band, sig_mask, p)     # (3, bins_band, L)
+        eig = eig_features_from_planes(xr_b, xi_b, sig_mask, p)  # (3, bins_band, L)
         eig = jnp.transpose(eig, (0, 2, 1))                   # (3, L, bins_band)
         pad_width = p.freq_dim - (p.upper_bin - p.lower_bin)
         eig_full = jnp.pad(eig, ((0, 0), (0, 0), (0, pad_width)))
@@ -164,7 +166,7 @@ def make_salsa_lite_chunk_fn(p: SalsaLiteParams, chunk_len: int):
     def fn(wave_padded, n_full, f0):
         Xmain, _ = _chunk_spectra(
             wave_padded, n_full, f0, chunk_len, 0, p.n_fft, p.hop_length, win_length)
-        log_specs = power_to_db(jnp.abs(Xmain) ** 2)
+        log_specs = power_to_db(cabs2(Xmain))
         phase = jnp.angle(Xmain[1:] * jnp.conj(Xmain[0:1]))
         if p.normalize == "ipd":
             phase = phase / np.pi
@@ -326,12 +328,15 @@ def _tracker_states_all(wave_padded: jnp.ndarray, p: SalsaParams):
     """Per-frame tracker pre-states over a full clip: (floor, countdown) each of
     shape (n_frames, n_bins_band)."""
     n_full = 1 + (wave_padded.shape[1] - p.n_fft) // p.hop_length
-    frames = frame_signal(wave_padded, p.n_fft, p.hop_length)
+    # the tracker only reads channel 0 — frame/DFT just that channel
+    frames = frame_signal(wave_padded[0:1], p.n_fft, p.hop_length)
     X = _dft_frames(frames, p.n_fft, p.win_length or p.n_fft)
-    band = jnp.transpose(X[:, :, p.lower_bin : p.upper_bin], (2, 1, 0))
     h = p.n_hopframes
-    Xpad = jnp.concatenate([band[:, -h:], band, band[:, :h]], axis=1)
-    mag = tracking_magspec(Xpad, h, n_full)
+    xr0 = jnp.transpose(jnp.real(X)[0, :, p.lower_bin : p.upper_bin])  # (bins, T)
+    xi0 = jnp.transpose(jnp.imag(X)[0, :, p.lower_bin : p.upper_bin])
+    xr0 = jnp.concatenate([xr0[:, -h:], xr0, xr0[:, :h]], axis=-1)
+    xi0 = jnp.concatenate([xi0[:, -h:], xi0, xi0[:, :h]], axis=-1)
+    mag = tracking_magspec_planes(xr0, xi0, h, n_full)
     _, _, (floors, countdowns) = noise_floor_scan(
         mag, tracker_init_state(mag), collect_states=True)
     return floors, countdowns

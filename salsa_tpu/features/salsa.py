@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from salsa_tpu.dsp.stft import stft, power_to_db
+from salsa_tpu.dsp.stft import stft, power_to_db, cabs2
 from salsa_tpu.dsp.filterbank import high_freq_compression_matrix
 
 SPEED_OF_SOUND = 343.0
@@ -138,6 +138,20 @@ def tracking_magspec(Xpad: jnp.ndarray, n_hopframes: int, n_frames: int) -> jnp.
     acc = jnp.zeros(Xpad.shape[:1] + (n_frames,), dtype=jnp.float32)
     for i in range(3):
         seg = Xpad[:, n_hopframes - i : n_hopframes - i + n_frames, 0]
+        acc = acc + jnp.abs(seg) ** 2
+    return jnp.sqrt(acc / 3.0)
+
+
+def tracking_magspec_planes(
+    xr0: jnp.ndarray, xi0: jnp.ndarray, n_hopframes: int, n_frames: int
+) -> jnp.ndarray:
+    """tracking_magspec from channel-0 re/im planes (n_bins, n_frames + 2h).
+    Rebuilds |.|^2 through lax.complex on the slices so the rounding is
+    bit-identical to the complex-input path."""
+    acc = jnp.zeros((xr0.shape[0], n_frames), dtype=jnp.float32)
+    for i in range(3):
+        sl = slice(n_hopframes - i, n_hopframes - i + n_frames)
+        seg = lax.complex(xr0[:, sl], xi0[:, sl])
         acc = acc + jnp.abs(seg) ** 2
     return jnp.sqrt(acc / 3.0)
 
@@ -310,6 +324,27 @@ def eig_features_from_padded(
     return jnp.transpose(feat, (2, 0, 1))  # (C-1, bins, frames)
 
 
+def eig_features_from_planes(
+    xr: jnp.ndarray, xi: jnp.ndarray, sig_mask: jnp.ndarray, params: SalsaParams
+) -> jnp.ndarray:
+    """eig_features_from_padded, but fed (C, n_bins_band, n_frames + 2h) re/im
+    planes — the layout the Pallas kernel consumes natively (one pad copy instead
+    of a C-minor complex transpose round-trip). Falls back to the general complex
+    path for non-pallas eigensolvers / non-4-channel arrays."""
+    p = params
+    n_chans = xr.shape[0]
+    if p.eig_method == "pallas" and p.is_tracking and n_chans == 4:
+        from salsa_tpu.features.salsa_pallas import salsa_spatial_pallas_planes
+
+        return salsa_spatial_pallas_planes(
+            xr, xi, sig_mask, n_hop=p.n_hopframes, audio_format=p.audio_format,
+            condition_number=p.condition_number, lower_bin=p.lower_bin,
+            fs=p.fs, n_fft=p.n_fft,
+            interpret=jax.default_backend() == "cpu")
+    Xpad = jnp.transpose(lax.complex(xr, xi), (1, 2, 0))
+    return eig_features_from_padded(Xpad, sig_mask, p)
+
+
 def salsa_eigenvector_features(X: jnp.ndarray, params: SalsaParams) -> jnp.ndarray:
     """Normalized principal-eigenvector map for the DOA band (full clip).
 
@@ -340,11 +375,22 @@ def extract_salsa(wave: jnp.ndarray, params: SalsaParams) -> jnp.ndarray:
     X = stft(wave, n_fft=p.n_fft, hop_length=p.hop_length, win_length=p.win_length)
     # (4, T, bins)
     W = high_freq_compression_matrix(p.n_fft, p.compress_high_freq)
-    power = jnp.abs(X) ** 2
+    power = cabs2(X)
     log_spec = power_to_db(jnp.einsum("ctb,fb->ctf", power, jnp.asarray(W)))
 
-    band = jnp.transpose(X[:, :, p.lower_bin : p.upper_bin], (2, 1, 0))  # (bins, T, 4)
-    eig = salsa_eigenvector_features(band, p)  # (3, bins_band, T)
+    # eig band as (C, bins_band, T) re/im planes: one 2-D transpose per plane from
+    # the STFT's native (C, T, bins) — never materializes the C-minor complex band
+    h = p.n_hopframes
+    xr_b = jnp.transpose(jnp.real(X)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
+    xi_b = jnp.transpose(jnp.imag(X)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
+    xr_pad = jnp.concatenate([xr_b[:, :, -h:], xr_b, xr_b[:, :, :h]], axis=-1)
+    xi_pad = jnp.concatenate([xi_b[:, :, -h:], xi_b, xi_b[:, :, :h]], axis=-1)
+    n_t = X.shape[1]
+    mag = tracking_magspec_planes(xr_pad[0], xi_pad[0], h, n_t)
+    sig_mask = noise_floor_mask(mag)
+    if not p.is_tracking:
+        sig_mask = jnp.ones_like(sig_mask, dtype=bool)
+    eig = eig_features_from_planes(xr_pad, xi_pad, sig_mask, p)  # (3, bins_band, T)
     eig = jnp.transpose(eig, (0, 2, 1))  # (3, T, bins_band)
 
     n_frames = X.shape[1]

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from salsa_tpu.dsp.stft import stft, power_to_db
+from salsa_tpu.dsp.stft import stft, power_to_db, cabs2
 
 SPEED_OF_SOUND = 343.0
 
@@ -55,7 +55,7 @@ def extract_salsa_lite(wave: jnp.ndarray, params: SalsaLiteParams) -> jnp.ndarra
     """(4, n_samples) MIC waveform -> (7, n_frames, cutoff_bin - lower_bin) feature."""
     p = params
     X = stft(wave, n_fft=p.n_fft, hop_length=p.hop_length, win_length=p.win_length)
-    log_specs = power_to_db(jnp.abs(X) ** 2)  # (4, T, bins)
+    log_specs = power_to_db(cabs2(X))  # (4, T, bins)
 
     phase = jnp.angle(X[1:] * jnp.conj(X[0:1]))  # (3, T, bins)
     if p.normalize == "ipd":

@@ -3,9 +3,16 @@ eigenpairs -> coherence test -> FOA/MIC normalization) in one VMEM-resident pass
 
 The XLA path (features/salsa.py) materializes the (bins, frames, C, C) covariance
 tensor and several squared-power copies in HBM (~1 GB of traffic per clip). This
-kernel tiles the (bins, frames) plane; each grid step DMAs a halo'd STFT tile from
-HBM into VMEM scratch and writes only the final 3-channel feature tile — total HBM
-traffic drops to reading X once (~29 MB/clip) plus the output.
+kernel tiles the (bins, frames) plane; each grid step DMAs an STFT tile plus its
+128-frame lookahead halo from HBM into VMEM and writes only the final 3-channel
+feature tile — total HBM traffic drops to reading X ~1.25x once plus the output.
+
+The halo is fetched as a SECOND BlockSpec over the same plane arrays (main block
+(C, BIN_TILE, T_TILE) at block t, halo block (C, BIN_TILE, 128) at lane-block
+4t+4), concatenated in VMEM. This keeps the host-side prep to one fused
+real/imag+transpose+pad copy per plane; the earlier design materialized an
+overlapped `frame_signal` copy plus two block transposes in HBM, which TPU
+profiling showed cost more than the kernel's entire eigensolver math.
 
 Complex arithmetic uses explicit (re, im) f32 plane pairs (Pallas TPU has no complex
 dtype); the 4x4 Hermitian algebra is fully unrolled Python codegen over the upper
@@ -26,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 C = 4            # microphone / ambisonic channels
-BIN_TILE = 8
-T_TILE = 512
+# tile sweep on TPU v5e (scripts/probe_salsa_kernel.py): 8x512 / 16x512 / 32x512 /
+# 8x1024 / 16x1024 within 2.5% of each other; 16x1024 fastest
+BIN_TILE = 16
+T_TILE = 1024
 N_SQUARINGS = 3
 SPEED_OF_SOUND = 343.0
 
@@ -126,15 +135,20 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
-def _kernel(xr_ref, xi_ref, mask_ref, out_ref, *,
+def _kernel(xrm_ref, xrh_ref, xim_ref, xih_ref, mask_ref, out_ref, *,
             n_hop: int, audio_format: str, condition_number: float,
             lower_bin: int, delta: float):
     win = 2 * n_hop + 1
     b = pl.program_id(0)
 
-    # blocks arrive halo'd: (C, 1, BIN_TILE, T_TILE + HALO_PAD) — the host-side
-    # overlap layout keeps every slice 128-aligned for Mosaic
-    x = [_Cplx(xr_ref[c, 0, :, :], xi_ref[c, 0, :, :]) for c in range(C)]
+    # main blocks are (C, BIN_TILE, T_TILE); halo blocks carry the next 128 frames
+    # of the same planes. Concatenating in VMEM gives each channel a
+    # (BIN_TILE, T_TILE + 128) window source with every slice 128-aligned.
+    x = [
+        _Cplx(jnp.concatenate([xrm_ref[c, :, :], xrh_ref[c, :, :]], axis=-1),
+              jnp.concatenate([xim_ref[c, :, :], xih_ref[c, :, :]], axis=-1))
+        for c in range(C)
+    ]
 
     # ---- windowed covariance R[i,j] = mean_k x_i[t+k] conj(x_j[t+k]) ----
     R = {}
@@ -242,35 +256,63 @@ def salsa_spatial_pallas(
     fused chunked-training path supplies real neighbor frames instead of wrap).
     sig_mask: (n_bins_band, n_frames) bool from the noise tracker.
     Returns (C-1, n_bins_band, n_frames) float32 features (zeros where invalid)."""
-    from salsa_tpu.dsp.stft import frame_signal
-
-    n_bins = X.shape[0]
-    n_frames = X.shape[1] - (2 * n_hop if x_prepadded else 0)
-    delta = 2.0 * np.pi * fs / (n_fft * SPEED_OF_SOUND)
-    HALO = 128  # >= 2*n_hop, kept at a full lane tile so every block is aligned
-
-    # wrap-pad time; pad bins/frames to tile multiples. Padded regions are masked
-    # out through the sig_mask padding.
     Xpad = X if x_prepadded else jnp.concatenate(
         [X[:, -n_hop:], X, X[:, :n_hop]], axis=1)
+    xr = jnp.transpose(jnp.real(Xpad), (2, 0, 1))
+    xi = jnp.transpose(jnp.imag(Xpad), (2, 0, 1))
+    return salsa_spatial_pallas_planes(
+        xr, xi, sig_mask, n_hop=n_hop, audio_format=audio_format,
+        condition_number=condition_number, lower_bin=lower_bin, fs=fs,
+        n_fft=n_fft, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hop", "audio_format", "condition_number", "lower_bin",
+                     "fs", "n_fft", "interpret"),
+)
+def salsa_spatial_pallas_planes(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    sig_mask: jnp.ndarray,
+    n_hop: int = 3,
+    audio_format: str = "foa",
+    condition_number: float = 5.0,
+    lower_bin: int = 1,
+    fs: int = 24000,
+    n_fft: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Planes-native entry: xr/xi are (C, n_bins_band, n_frames + 2*n_hop) float32
+    re/im STFT planes ALREADY carrying n_hop covariance-context frames per side.
+    This layout reaches the kernel with a single pad copy per plane — callers that
+    keep STFT output in (C, T, bins) avoid the C-minor complex band entirely.
+    sig_mask: (n_bins_band, n_frames) bool. Returns (C-1, n_bins_band, n_frames)."""
+    n_bins = xr.shape[1]
+    n_frames = xr.shape[2] - 2 * n_hop
+    delta = 2.0 * np.pi * fs / (n_fft * SPEED_OF_SOUND)
+    HALO = 128  # >= 2*n_hop, a full lane tile so every halo block is aligned
+
     bins_pad = -(-n_bins // BIN_TILE) * BIN_TILE
     t_pad = -(-n_frames // T_TILE) * T_TILE
-    Xpad = jnp.pad(
-        Xpad, ((0, bins_pad - n_bins), (0, t_pad + HALO - (n_frames + 2 * n_hop)), (0, 0))
-    )  # (bins_pad, t_pad + HALO, C)
+    t_total = t_pad + HALO
+    pad_spec = ((0, 0), (0, bins_pad - n_bins),
+                (0, t_total - (n_frames + 2 * n_hop)))
+    # one pad copy per plane -> (C, bins_pad, t_total); padded regions are masked
+    # out through the sig_mask padding
+    xr = jnp.pad(xr, pad_spec)
+    xi = jnp.pad(xi, pad_spec)
     mask = jnp.pad(sig_mask.astype(jnp.float32),
                    ((0, bins_pad - n_bins), (0, t_pad - n_frames)))
 
-    # halo'd tiling along time: (C, bins_pad, n_t_blocks, T_TILE + HALO); every tile
-    # carries its own lookahead so all Mosaic slices stay 128-aligned
-    n_t_blocks = t_pad // T_TILE
-    xr = frame_signal(jnp.transpose(jnp.real(Xpad), (2, 0, 1)), T_TILE + HALO, T_TILE)
-    xi = frame_signal(jnp.transpose(jnp.imag(Xpad), (2, 0, 1)), T_TILE + HALO, T_TILE)
-    # -> (C, bins_pad, n_t_blocks, T_TILE + HALO); reorder blocks dim before bins
-    xr = jnp.transpose(xr, (0, 2, 1, 3))
-    xi = jnp.transpose(xi, (0, 2, 1, 3))
+    hpb = T_TILE // HALO  # halo blocks per main block
+    main_spec = pl.BlockSpec((C, BIN_TILE, T_TILE), lambda b, t: (0, b, t),
+                             memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((C, BIN_TILE, HALO),
+                             lambda b, t: (0, b, (t + 1) * hpb),
+                             memory_space=pltpu.VMEM)
 
-    grid = (bins_pad // BIN_TILE, n_t_blocks)
+    grid = (bins_pad // BIN_TILE, t_pad // T_TILE)
     out = pl.pallas_call(
         functools.partial(
             _kernel, n_hop=n_hop, audio_format=audio_format,
@@ -278,10 +320,7 @@ def salsa_spatial_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((C, 1, BIN_TILE, T_TILE + HALO), lambda b, t: (0, t, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1, BIN_TILE, T_TILE + HALO), lambda b, t: (0, t, b, 0),
-                         memory_space=pltpu.VMEM),
+            main_spec, halo_spec, main_spec, halo_spec,
             pl.BlockSpec((BIN_TILE, T_TILE), lambda b, t: (b, t),
                          memory_space=pltpu.VMEM),
         ],
@@ -289,5 +328,5 @@ def salsa_spatial_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C - 1, bins_pad, t_pad), jnp.float32),
         interpret=interpret,
-    )(xr, xi, mask)
+    )(xr, xr, xi, xi, mask)
     return out[:, :n_bins, :n_frames]

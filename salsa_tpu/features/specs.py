@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from salsa_tpu.dsp.stft import stft, power_to_db, irfft_selected
+from salsa_tpu.dsp.stft import stft, power_to_db, irfft_selected, cabs2
 
 
 def multichannel_spectra(wave: jnp.ndarray, n_fft: int, hop_length: int,
@@ -31,7 +31,7 @@ def multichannel_spectra(wave: jnp.ndarray, n_fft: int, hop_length: int,
 
 def log_projected_spec(X: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
     """|X|^2 @ proj.T -> dB. X: (C, T, bins); proj: (F, bins). Returns (C, T, F)."""
-    power = jnp.abs(X) ** 2
+    power = cabs2(X)
     projected = jnp.einsum("ctb,fb->ctf", power, proj)
     return power_to_db(projected)
 

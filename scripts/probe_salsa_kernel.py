@@ -243,13 +243,48 @@ def main():
 
     configs = [
         ("full", dict(variant="full", n_sq=3, bin_tile=8, t_tile=512, halo=128)),
-        ("prep_only", dict(variant="prep_only", n_sq=3, bin_tile=8, t_tile=512, halo=128)),
-        ("cov_only", dict(variant="cov_only", n_sq=3, bin_tile=8, t_tile=512, halo=128)),
-        ("win1", dict(variant="full", n_sq=3, bin_tile=8, t_tile=512, halo=128, n_hop=0)),
-        ("realdiag", dict(variant="realdiag", n_sq=3, bin_tile=8, t_tile=512, halo=128)),
     ]
 
+    # production planes entry (v2 dual-ref halo layout) + tile sweep: planes are
+    # pre-built in (C, bins, T+2h) so these time pad + pallas_call only
+    import salsa_tpu.features.salsa_pallas as sp
+
+    n_hop = 3
+    XreP = np.concatenate([Xre[:, :, -n_hop:], Xre, Xre[:, :, :n_hop]], axis=2)
+    XimP = np.concatenate([Xim[:, :, -n_hop:], Xim, Xim[:, :, :n_hop]], axis=2)
+    XreP = np.ascontiguousarray(np.transpose(XreP, (0, 3, 1, 2)))  # (B,C,bins,T+2h)
+    XimP = np.ascontiguousarray(np.transpose(XimP, (0, 3, 1, 2)))
+    XrePd = jax.device_put(XreP)
+    XimPd = jax.device_put(XimP)
+
+    def planes_fn(bt, tt):
+        def f(xr, xi, m):
+            sp.BIN_TILE, sp.T_TILE = bt, tt
+            return jnp.sum(sp.salsa_spatial_pallas_planes.__wrapped__(
+                xr, xi, m > 0.5))
+        return f
+
+    extra = [(f"planes_{bt}x{tt}", planes_fn(bt, tt), True)
+             for bt, tt in ((8, 512), (16, 512), (32, 512), (8, 1024), (16, 1024),
+                            (64, 512), (8, 2048))]
+    extra += [("planes_prep", lambda xr, xi, m: jnp.sum(
+        jnp.pad(xr, ((0, 0), (0, 1), (0, 441))) +
+        jnp.pad(xi, ((0, 0), (0, 1), (0, 441)))), True)]
+
     fullsum = None
+    for name, fnv, nock in extra:
+        fn = jax.jit(jax.vmap(fnv))
+        try:
+            s = float(np.asarray(jnp.sum(fn(XrePd, XimPd, mfd))))
+        except Exception as e:
+            print(f"{name:>16}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+            continue
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s = float(np.asarray(jnp.sum(fn(XrePd, XimPd, mfd))))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:>16}: {dt * 1e3:8.2f} ms/batch  sum={s:.6e}", flush=True)
+
     for name, kw in configs:
         fn = jax.jit(jax.vmap(
             lambda xre, xim, m: run_variant(jax.lax.complex(xre, xim), m > 0.5, **kw)))

@@ -58,6 +58,28 @@ def test_pallas_kernel_matches_xla_path(rng, audio_format):
     np.testing.assert_allclose(got[:, both], ref[:, both], atol=5e-3, rtol=5e-3)
 
 
+def test_planes_entry_matches_complex_entry(rng):
+    # the planes-native entry (what extract_salsa/chunked feed) must equal the
+    # complex wrapper bit-for-bit — same kernel, layout change only
+    from salsa_tpu.features.salsa_pallas import salsa_spatial_pallas_planes
+
+    X = make_band(rng, n_bins=11, n_frames=333)
+    h = 3
+    Xj = jnp.asarray(X)
+    Xpad = jnp.concatenate([Xj[:, -h:], Xj, Xj[:, :h]], axis=1)
+    mask = noise_floor_mask(tracking_magspec(Xpad, h, X.shape[1]))
+    via_complex = np.asarray(
+        salsa_spatial_pallas(Xj, mask, n_hop=h, audio_format="foa",
+                             lower_bin=1, fs=8000, n_fft=256, interpret=True))
+    xr = jnp.transpose(jnp.real(Xpad), (2, 0, 1))
+    xi = jnp.transpose(jnp.imag(Xpad), (2, 0, 1))
+    via_planes = np.asarray(
+        salsa_spatial_pallas_planes(xr, xi, mask, n_hop=h, audio_format="foa",
+                                    lower_bin=1, fs=8000, n_fft=256,
+                                    interpret=True))
+    np.testing.assert_array_equal(via_planes, via_complex)
+
+
 def test_pallas_kernel_pads_and_crops(rng):
     # non-multiple bins/frames exercise the tile padding path
     X = make_band(rng, n_bins=11, n_frames=333)
