@@ -38,8 +38,10 @@ def main():
     fs = 24000
     clip_seconds = 60.0
     n_samples = int(fs * clip_seconds)
-    batch = 32  # clips per device dispatch — per-chip THROUGHPUT figure
-    # (batch 8 reported 10.8k x in r01; 32 amortizes dispatch further, same metric)
+    batch = 64  # clips per device dispatch — per-chip THROUGHPUT figure
+    # (batch 8 reported 10.8k x in r01, 32 gave 24.5k x in r03; the fixed
+    # dispatch+transport cost keeps amortizing: 64 -> 29.6k x, 128 -> 30.3k x
+    # (scripts/probe_stft_split.py sweep) — 64 is the knee at half the footprint)
 
     eig_method = "pallas" if jax.default_backend() != "cpu" else "power"
     params = SalsaParams(fs=fs, n_fft=512, hop_length=300, fmax_doa=9000.0,
