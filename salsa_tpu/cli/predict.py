@@ -30,7 +30,9 @@ from salsa_tpu.cli._errors import cli_entry
 
 def predict(exp_config: str, wav_dir: str, out_dir: str,
             exp_group_dir: str = "./outputs", exp_suffix: str = "",
-            checkpoint_kind: str = "best", batch_size: int = 4):
+            checkpoint_kind: str = "best", batch_size: int = 4,
+            streaming: bool = False, block_frames: int = 160,
+            context_frames: int = 256, push_ms: float = 100.0):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
@@ -68,9 +70,13 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
 
     scaler = FeatureStore(cfg.feature_root_dir, d.audio_format).read_scaler()
     interp_ratio = model.time_downsample_ratio * d.label_rate / (d.fs / d.hop_len)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if streaming:
+        return _predict_streaming(
+            cfg, d, model, variables, scaler, interp_ratio, wav_dir, out_dir,
+            wavs, block_frames, context_frames, push_ms)
     pipe = SeldInferencePipeline(
-        extractor, model,
-        {"params": state.params, "batch_stats": state.batch_stats},
+        extractor, model, variables,
         scaler, interp_ratio, d.n_classes, d.get("output_format", "reg_xyz"),
     )
 
@@ -101,6 +107,62 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     return out_dir
 
 
+def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
+                       out_dir, wavs, block_frames, context_frames, push_ms):
+    """Simulated-live serving: each wav is fed through the streaming pipeline in
+    push_ms packets; predictions accumulate block by block and land in the same
+    submission CSVs the batch path writes. Logs per-block compute latency (the
+    serving overhead on top of the algorithmic block+context lookahead)."""
+    from salsa_tpu.streaming import StreamingExtractor, StreamingSeldPipeline
+
+    os.makedirs(out_dir, exist_ok=True)
+    push = max(1, int(push_ms * d.fs / 1000))
+    se = StreamingExtractor(
+        cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
+        hop_length=d.hop_len, block_frames=block_frames,
+        n_mels=d.get("n_mels", 128),
+        **({"fmax_doa": d.fmax_doa} if d.get("fmax_doa") else {}))
+    pipe = StreamingSeldPipeline(
+        se, model, variables, scaler, interp_ratio, d.n_classes,
+        d.get("output_format", "reg_xyz"),
+        left_context=context_frames, right_context=context_frames)
+    lat, audio_seconds = [], 0.0
+    t_all = time.time()
+    for w in wavs:
+        audio, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
+        audio_seconds += audio.shape[1] / d.fs
+        pipe.reset()
+        outs, i = [], 0
+        while i < audio.shape[1]:
+            t0 = time.time()
+            got = pipe.push(audio[:, i : i + push])
+            if got:
+                lat.append(time.time() - t0)
+                outs += got
+            i += push
+        t0 = time.time()
+        outs += pipe.flush()
+        lat.append(time.time() - t0)
+        ev = np.concatenate([o[0] for o in outs], axis=0)
+        doa = np.concatenate([o[1] for o in outs], axis=0)
+        write_classwise_csv(
+            os.path.join(out_dir, w[:-4] + ".csv"), ev, doa, d.n_classes,
+            sed_threshold=cfg.get("sed_threshold", 0.3), max_frames=ev.shape[0],
+            version=str(cfg.get("eval_version", "2021")))
+    dt = time.time() - t_all
+    lat_ms = 1e3 * np.array(lat)
+    algo_ms = (block_frames + context_frames + se.latency_frames) \
+        * d.hop_len / d.fs * 1e3
+    logger.info(
+        "streamed %.0f audio-s in %.1f s (%.0fx realtime single-stream); "
+        "per-block compute latency p50 %.0f / p95 %.0f ms on top of the "
+        "algorithmic %.0f ms lookahead (block %d + context %d + halo %d frames)",
+        audio_seconds, dt, audio_seconds / max(dt, 1e-9),
+        np.percentile(lat_ms, 50), np.percentile(lat_ms, 95), algo_ms,
+        block_frames, context_frames, se.latency_frames)
+    return out_dir
+
+
 @cli_entry
 def main():
     p = argparse.ArgumentParser()
@@ -111,9 +173,18 @@ def main():
     p.add_argument("--exp-suffix", default="")
     p.add_argument("--checkpoint", default="best", choices=["best", "last"])
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--streaming", action="store_true",
+                   help="simulated-live serving through the streaming pipeline")
+    p.add_argument("--block-frames", type=int, default=160,
+                   help="streaming: feature frames per emitted block")
+    p.add_argument("--context-frames", type=int, default=256,
+                   help="streaming: model context each side of a block")
+    p.add_argument("--push-ms", type=float, default=100.0,
+                   help="streaming: sample packet size")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
-            a.checkpoint, a.batch_size)
+            a.checkpoint, a.batch_size, a.streaming, a.block_frames,
+            a.context_frames, a.push_ms)
 
 
 if __name__ == "__main__":

@@ -120,7 +120,8 @@ def _chunk_spectra(wave_padded: jnp.ndarray, n_full: jnp.ndarray, f0: jnp.ndarra
     return Xmain, Xpad
 
 
-def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int):
+def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int,
+                        return_tracker_state: bool = False):
     """Fused chunk extractor for SALSA (FOA/MIC).
 
     Returns fn(wave_padded, n_full, f0, floor0, countdown0) -> (7, chunk_len,
@@ -130,6 +131,10 @@ def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int):
       * f0: scalar int32 chunk start (feature frames, clip-local);
       * floor0/countdown0: (n_bins_band,) tracker state entering frame f0, from
         `salsa_tracker_checkpoints`.
+    With return_tracker_state, fn returns (features, floor, countdown) where the
+    extra pair is the tracker state EXITING frame f0+chunk_len-1 — what the next
+    contiguous block must resume from (the streaming pipeline chains blocks
+    through it; `salsa_tpu/streaming.py`).
     """
     h = p.n_hopframes
     W = jnp.asarray(high_freq_compression_matrix(p.n_fft, p.compress_high_freq))
@@ -144,14 +149,17 @@ def make_salsa_chunk_fn(p: SalsaParams, chunk_len: int):
         xr_b = jnp.transpose(jnp.real(Xpad)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
         xi_b = jnp.transpose(jnp.imag(Xpad)[:, :, p.lower_bin : p.upper_bin], (0, 2, 1))
         mag = tracking_magspec_planes(xr_b[0], xi_b[0], h, chunk_len)
-        _, sig_mask = noise_floor_scan(mag, (floor0, countdown0))
+        (floor, countdown), sig_mask = noise_floor_scan(mag, (floor0, countdown0))
         if not p.is_tracking:
             sig_mask = jnp.ones_like(sig_mask, dtype=bool)
         eig = eig_features_from_planes(xr_b, xi_b, sig_mask, p)  # (3, bins_band, L)
         eig = jnp.transpose(eig, (0, 2, 1))                   # (3, L, bins_band)
         pad_width = p.freq_dim - (p.upper_bin - p.lower_bin)
         eig_full = jnp.pad(eig, ((0, 0), (0, 0), (0, pad_width)))
-        return jnp.concatenate([log_spec, eig_full], axis=0)
+        feats = jnp.concatenate([log_spec, eig_full], axis=0)
+        if return_tracker_state:
+            return feats, floor, countdown
+        return feats
 
     return fn
 
@@ -251,7 +259,8 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
                          fmax: float | None = None,
                          condition_number: float = 5.0, n_hopframes: int = 3,
                          is_tracking: bool = True, compress_high_freq: bool = True,
-                         eig_method: str = "auto"):
+                         eig_method: str = "auto",
+                         return_tracker_state: bool = False):
     """Uniform fused-chunk extractor factory (mirrors registry.make_extractor's
     parameter defaults so fused features match the offline extractor's exactly).
 
@@ -260,11 +269,25 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
     SalsaParams (or SalsaLiteParams) to feed salsa_tracker_checkpoints / shape
     queries; its `needs_tracker` companion is returned as params having
     is_tracking for salsa only.
+
+    With return_tracker_state, fn returns (features, floor, countdown) for every
+    type uniformly (tracker-free types echo floor0/cd0 back) — the streaming
+    extractor chains contiguous blocks through this state.
     """
     if feature_type not in FUSED_FEATURE_TYPES:
         raise ValueError(
             f"training.from_wav supports feature types {FUSED_FEATURE_TYPES}; "
             f"'{feature_type}' needs the offline extract CLI")
+
+    def _echo_state(fn):
+        if not return_tracker_state:
+            return fn
+
+        def wrapped(wave_padded, n_full, f0, floor0, cd0):
+            return fn(wave_padded, n_full, f0, floor0, cd0), floor0, cd0
+
+        return wrapped
+
     win_len = win_length or n_fft
     pad_total = required_pad(feature_type, n_fft)
     if feature_type in ("melspec", "melspeciv", "linspeciv"):
@@ -278,7 +301,7 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
         fn = make_projected_chunk_fn(proj, chunk_len, n_fft, hop_length, win_len,
                                      pad_total - n_fft // 2,
                                      with_iv=feature_type != "melspec")
-        return fn, None
+        return _echo_state(fn), None
     if feature_type in ("linspecgcc", "melspecgcc"):
         from salsa_tpu.features.specs import gcc_phat_lowpass_filter
 
@@ -295,7 +318,7 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
             n_out, filt = n_mels, gcc_phat_lowpass_filter(fs, big_n_fft)
         fn = make_gcc_chunk_fn(proj, chunk_len, n_fft, hop_length, win_len,
                                pad_total, n_out, filt)
-        return fn, None
+        return _echo_state(fn), None
     if eig_method == "auto":
         eig_method = ("power" if jax.default_backend() == "cpu" or not is_tracking
                       else "pallas")
@@ -308,7 +331,7 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
             audio_format=audio_format, condition_number=condition_number,
             n_hopframes=n_hopframes, is_tracking=is_tracking,
             compress_high_freq=compress_high_freq, eig_method=eig_method)
-        return make_salsa_chunk_fn(p, chunk_len), p
+        return make_salsa_chunk_fn(p, chunk_len, return_tracker_state), p
     if fmax_doa is None:
         fmax_doa = 2000.0
     p = SalsaLiteParams(
@@ -320,7 +343,7 @@ def make_chunk_extractor(feature_type: str, audio_format: str, chunk_len: int,
     def fn(wave_padded, n_full, f0, floor0, cd0):
         return lite_fn(wave_padded, n_full, f0)
 
-    return fn, p
+    return _echo_state(fn), p
 
 
 @partial(jax.jit, static_argnames=("p",))

@@ -1,0 +1,105 @@
+"""Benchmark the streaming SELD pipeline on hardware: per-block latency and
+single-stream realtime factor at the flagship geometry.
+
+Simulates a live feed of a 60 s FOA clip pushed in `--push-ms` sample packets
+through StreamingExtractor + StreamingSeldPipeline (SALSA features + CRNN), and
+reports per-block wall times (which is the latency the serving host adds on top
+of the algorithmic lookahead = block + right_context + n_hopframes frames).
+
+Run solo on the TPU (CLAUDE.md rules); works on CPU with --cpu for a sanity run.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/salsa_tpu_jit_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block", type=int, default=160, help="feature frames (2 s)")
+    ap.add_argument("--context", type=int, default=256,
+                    help="left/right context frames")
+    ap.add_argument("--push-ms", type=float, default=100.0)
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--encoder", default="PannResNet22TPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.streaming import StreamingExtractor, StreamingSeldPipeline
+
+    fs, n_fft, hop = 24000, 512, 300
+    print("devices:", jax.devices(), flush=True)
+
+    eig = "power" if jax.default_backend() == "cpu" else "pallas"
+    se = StreamingExtractor("salsa", "foa", fs=fs, n_fft=n_fft, hop_length=hop,
+                            block_frames=args.block, eig_method=eig)
+    model = build_model(encoder={"name": args.encoder, "n_input_channels": 7},
+                        decoder={"name": "SeldDecoder"}, n_classes=12)
+    F = se.params.freq_dim
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 7, 64, F), jnp.float32), train=False)
+    mean = np.zeros((4, 1, F), np.float32)
+    std = np.ones((4, 1, F), np.float32)
+    pipe = StreamingSeldPipeline(se, model, variables, (mean, std),
+                                 interp_ratio=2.0, n_classes=12,
+                                 left_context=args.context,
+                                 right_context=args.context)
+
+    n = int(args.seconds * fs)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / fs
+    wave = (0.05 * rng.standard_normal((4, n))).astype(np.float32)
+    wave += 0.3 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+
+    push = int(args.push_ms * fs / 1000)
+    # warm up compiles (extractor init + block fn + model window), then reset
+    i = 0
+    while i < 4 * push + (args.block + 2 * args.context) * hop:
+        pipe.push(wave[:, i : i + push])
+        i += push
+    pipe.reset()
+    print("warmed up", flush=True)
+
+    lat, i, n_out = [], 0, 0
+    t_start = time.perf_counter()
+    while i < n:
+        t0 = time.perf_counter()
+        outs = pipe.push(wave[:, i : i + push])
+        dt = time.perf_counter() - t0
+        if outs:
+            lat.append(dt)
+            n_out += sum(o[0].shape[0] for o in outs)
+        i += push
+    t0 = time.perf_counter()
+    outs = pipe.flush()
+    lat.append(time.perf_counter() - t0)
+    n_out += sum(o[0].shape[0] for o in outs)
+    wall = time.perf_counter() - t_start
+
+    lat_ms = np.array(lat) * 1e3
+    algo_ms = (args.block + args.context + se.latency_frames) * hop / fs * 1e3
+    print(f"stream {args.seconds:.0f}s: {n_out} label frames, wall {wall:.2f}s "
+          f"({args.seconds / wall:.1f}x realtime single-stream)")
+    print(f"per-block compute latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
+          f"p95 {np.percentile(lat_ms, 95):.1f} max {lat_ms.max():.1f}")
+    print(f"algorithmic lookahead: {algo_ms:.0f} ms "
+          f"(block {args.block} + right_context {args.context} + "
+          f"halo {se.latency_frames} frames)")
+
+
+if __name__ == "__main__":
+    main()
