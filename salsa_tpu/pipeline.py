@@ -35,7 +35,9 @@ class SeldInferencePipeline:
                  output_format: str = "reg_xyz"):
         self.extractor = extractor
         self.model = model
-        self.variables = variables
+        # commit weights to the device once: checkpoint restores hand back
+        # host-numpy leaves, which would otherwise re-upload per dispatch
+        self.variables = jax.device_put(variables)
         mean, std = scaler
         self.mean = jnp.asarray(mean)
         self.std = jnp.asarray(std)

@@ -184,6 +184,64 @@ def _offline_predictions(model, variables, feat_norm, interp_ratio):
     return ev, doa
 
 
+def test_streaming_pipeline_matches_windowed_reference(rng):
+    """The fused single-dispatch pipeline (device-resident blocks, pad blocks
+    holding the scaler mean) computes exactly the defining window semantics:
+    normalize the whole feature stream, zero-pad it, and for each block k
+    forward the window [kL-left, kL+L+right) — including the pad-dominated
+    startup and flush-tail windows of a stream shorter than one full window."""
+    fs, n_fft, hop = 8000, 256, 400
+    n = int(4.3 * fs)  # 87 frames: 2 full blocks of 32 + a 23-frame tail
+    wave = (0.1 * rng.standard_normal((4, n))).astype(np.float32)
+
+    off_extract = make_extractor("salsa_lite", "mic", fs=fs, n_fft=n_fft,
+                                 hop_length=hop, fmax_doa=2000.0, jit=False)
+    feat = np.asarray(off_extract(wave))
+    C, T, F = feat.shape
+    mean = feat[:4].mean(axis=1, keepdims=True)
+    std = feat[:4].std(axis=1, keepdims=True) + 1e-6
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 7, 64, F), jnp.float32), train=False)
+    interp = 16 * 10 / (fs / hop)  # = 8
+    L, left, right, ds = 32, 48, 64, 16
+
+    se = StreamingExtractor("salsa_lite", "mic", fs=fs, n_fft=n_fft,
+                            hop_length=hop, block_frames=L, fmax_doa=2000.0)
+    pipe = StreamingSeldPipeline(se, model, variables, (mean, std), interp,
+                                 n_classes=3, left_context=left,
+                                 right_context=right)
+    outs = []
+    for i in range(0, n, 2500):
+        outs += pipe.push(wave[:, i : i + 2500])
+    outs += pipe.flush()
+
+    # reference: normalized stream, zero-padded windows, one forward per block
+    fn = feat.copy()
+    fn[:4] = (fn[:4] - mean) / std
+    n_blocks = -(-T // L)
+    ref = []
+    for k in range(n_blocks):
+        lo, hi = k * L - left, k * L + L + right
+        seg = fn[:, max(0, lo) : min(T, hi)]
+        window = np.pad(seg, ((0, 0), (max(0, -lo), max(0, hi - T)), (0, 0)))
+        out = model.apply(variables, jnp.asarray(window)[None], train=False)
+        e0, en = left // ds, L // ds
+        ev = np.asarray(jax.nn.sigmoid(interpolate_index_repeat(
+            out["event_frame_logit"][:, e0 : e0 + en], interp)))[0]
+        doa = np.asarray(interpolate_index_repeat(
+            out["doa_frame_output"][:, e0 : e0 + en], interp))[0]
+        if (k + 1) * L > T:
+            n_valid = int(round(np.floor((T - k * L) / ds) * interp))
+            ev, doa = ev[:n_valid], doa[:n_valid]
+        ref.append((ev, doa))
+
+    assert len(outs) == len(ref)
+    for (ev_s, doa_s), (ev_r, doa_r) in zip(outs, ref):
+        np.testing.assert_allclose(ev_s, ev_r, atol=1e-5)
+        np.testing.assert_allclose(doa_s, doa_r, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_streaming_pipeline_converges_to_offline(rng):
     """Streamed predictions: exact label-frame accounting, and deviation from
