@@ -39,6 +39,12 @@ TORCH_CKPT=/path/to/reference.ckpt
 import-ckpt:
 	python -m salsa_tpu.cli.import_ckpt --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --torch-ckpt $(TORCH_CKPT)
 
+.PHONY: ensemble
+PRED_DIRS=
+ENSEMBLE_OUT=./outputs/ensemble_submissions
+ensemble:
+	python -m salsa_tpu.cli.ensemble --pred-dirs $(PRED_DIRS) --out-dir $(ENSEMBLE_OUT)
+
 .PHONY: predict
 predict:
 	python -m salsa_tpu.cli.predict --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --wav-dir $(WAV_DIR) --out-dir $(PRED_DIR)

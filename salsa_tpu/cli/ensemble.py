@@ -1,0 +1,91 @@
+"""Ensemble-fusion CLI: average the per-clip prediction dumps of several trained
+models into one submission (the reference's 2nd-place DCASE2021 entry was a SALSA
+ensemble — reference README.md:46-47,164-166 — fused from exactly the h5 dumps its
+BaseModel writes at interfaces.py:182-202; the fusion step itself is not in the
+reference repo).
+
+    # member predictions come from normal inference runs with a prediction dir:
+    salsa-infer --exp-config configs/seld.yml     --exp-suffix _seed1 --splits test
+    salsa-infer --exp-config configs/seld_tpu.yml --exp-suffix _seed2 --splits test
+    salsa-ensemble \
+        --pred-dirs outputs/.../_seed1/outputs/predictions/test \
+                    outputs/.../_seed2/outputs/predictions/test \
+        --out-dir ./ensemble_submissions/test \
+        --gt-meta-dir <data>/metadata_dev
+"""
+from __future__ import annotations
+
+import argparse
+
+from salsa_tpu.cli._errors import cli_entry
+from salsa_tpu.train.ensemble import (
+    average_checkpoint_files,
+    ensemble_predictions,
+    write_ensemble,
+)
+from salsa_tpu.utils.experiments import logger
+
+
+def ensemble(pred_dirs, out_dir: str, weights=None, n_classes: int = 12,
+             sed_threshold: float = 0.3, version: str = "2021",
+             gt_meta_dir: str | None = None, doa_threshold: float = 20.0,
+             label_rate: int = 10) -> dict:
+    fused = ensemble_predictions(list(pred_dirs), weights)
+    written = write_ensemble(fused, out_dir, n_classes,
+                             sed_threshold=sed_threshold, version=version)
+    logger.info("ensemble of %d members: wrote %d submissions to %s",
+                len(pred_dirs), len(written), out_dir)
+    if gt_meta_dir is None:
+        return {}
+    from salsa_tpu.metrics.scorer import evaluate_submissions
+
+    max_frames = max(ep.shape[0] for ep, _ in fused.values())
+    scores = evaluate_submissions(
+        out_dir, gt_meta_dir, version=version, n_classes=n_classes,
+        doa_threshold=doa_threshold, label_rate=label_rate,
+        max_frames=max_frames, filenames=written,
+    )
+    logger.info("ensemble SELD %.4f ER %.4f F1 %.4f LE %.2f LR %.4f",
+                scores["seld_error"], scores["ER"], scores["F1"],
+                scores["LE"], scores["LR"])
+    return scores
+
+
+@cli_entry
+def main():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--pred-dirs", nargs="+", default=None,
+                   help="prediction dirs written by salsa-infer (one per member)")
+    p.add_argument("--out-dir", default=None,
+                   help="directory for the fused submission CSVs")
+    p.add_argument("--ckpts", nargs="+", default=None,
+                   help="instead of output fusion: average these .msgpack "
+                        "checkpoints in parameter space (SWA-style) into "
+                        "--out-ckpt; drop the result into a models/best dir "
+                        "to infer with it")
+    p.add_argument("--out-ckpt", default=None,
+                   help="output path for the averaged checkpoint (.msgpack)")
+    p.add_argument("--weights", nargs="+", type=float, default=None,
+                   help="per-member fusion weights (default: uniform)")
+    p.add_argument("--n-classes", type=int, default=12)
+    p.add_argument("--sed-threshold", type=float, default=0.3)
+    p.add_argument("--version", default="2021", choices=["2020", "2021"])
+    p.add_argument("--gt-meta-dir", default=None,
+                   help="ground-truth metadata dir; when given, score the fusion")
+    p.add_argument("--doa-threshold", type=float, default=20.0)
+    p.add_argument("--label-rate", type=int, default=10)
+    a = p.parse_args()
+    if a.ckpts is not None:
+        if a.out_ckpt is None:
+            raise ValueError("--ckpts needs --out-ckpt")
+        out = average_checkpoint_files(a.ckpts, a.out_ckpt, a.weights)
+        logger.info("averaged %d checkpoints -> %s", len(a.ckpts), out)
+        return
+    if not a.pred_dirs or not a.out_dir:
+        raise ValueError("need --pred-dirs and --out-dir (or --ckpts/--out-ckpt)")
+    ensemble(a.pred_dirs, a.out_dir, a.weights, a.n_classes, a.sed_threshold,
+             a.version, a.gt_meta_dir, a.doa_threshold, a.label_rate)
+
+
+if __name__ == "__main__":
+    main()
