@@ -23,13 +23,13 @@ from salsa_tpu.train.ensemble import (
     ensemble_predictions,
     write_ensemble,
 )
-from salsa_tpu.utils.experiments import logger
+from salsa_tpu.utils.experiments import configure_logging, logger
 
 
 def ensemble(pred_dirs, out_dir: str, weights=None, n_classes: int = 12,
              sed_threshold: float = 0.3, version: str = "2021",
              gt_meta_dir: str | None = None, doa_threshold: float = 20.0,
-             label_rate: int = 10) -> dict:
+             label_rate: int = 10, max_frames: int = 600) -> dict:
     fused = ensemble_predictions(list(pred_dirs), weights)
     written = write_ensemble(fused, out_dir, n_classes,
                              sed_threshold=sed_threshold, version=version)
@@ -39,7 +39,10 @@ def ensemble(pred_dirs, out_dir: str, weights=None, n_classes: int = 12,
         return {}
     from salsa_tpu.metrics.scorer import evaluate_submissions
 
-    max_frames = max(ep.shape[0] for ep, _ in fused.values())
+    # never score on FEWER frames than the infer/evaluate default (600): dumps
+    # shorter than the ground truth would silently truncate GT events into
+    # misses, breaking single-member-ensemble == infer-score equality
+    max_frames = max(max_frames, *(ep.shape[0] for ep, _ in fused.values()))
     scores = evaluate_submissions(
         out_dir, gt_meta_dir, version=version, n_classes=n_classes,
         doa_threshold=doa_threshold, label_rate=label_rate,
@@ -74,17 +77,27 @@ def main():
                    help="ground-truth metadata dir; when given, score the fusion")
     p.add_argument("--doa-threshold", type=float, default=20.0)
     p.add_argument("--label-rate", type=int, default=10)
+    p.add_argument("--max-frames", type=int, default=600,
+                   help="minimum per-clip frame horizon for scoring (matches "
+                        "evaluate_submissions' default; raised automatically to "
+                        "the longest dump)")
     a = p.parse_args()
+    configure_logging()
     if a.ckpts is not None:
         if a.out_ckpt is None:
             raise ValueError("--ckpts needs --out-ckpt")
+        if a.pred_dirs is not None or a.out_dir is not None:
+            raise ValueError("--ckpts (parameter-space SWA) and --pred-dirs/"
+                             "--out-dir (output fusion) are separate modes; "
+                             "pass one set of arguments only")
         out = average_checkpoint_files(a.ckpts, a.out_ckpt, a.weights)
         logger.info("averaged %d checkpoints -> %s", len(a.ckpts), out)
         return
     if not a.pred_dirs or not a.out_dir:
         raise ValueError("need --pred-dirs and --out-dir (or --ckpts/--out-ckpt)")
     ensemble(a.pred_dirs, a.out_dir, a.weights, a.n_classes, a.sed_threshold,
-             a.version, a.gt_meta_dir, a.doa_threshold, a.label_rate)
+             a.version, a.gt_meta_dir, a.doa_threshold, a.label_rate,
+             a.max_frames)
 
 
 if __name__ == "__main__":

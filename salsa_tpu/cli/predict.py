@@ -28,18 +28,40 @@ from salsa_tpu.utils.experiments import manage_experiments, logger
 from salsa_tpu.cli._errors import cli_entry
 
 
+def _load_scaler(cfg, audio_format: str):
+    """Train-split scaler for serving: the feature store's h5 when the experiment
+    used one, else the `feature_scaler.npz` training.from_wav persisted next to
+    the checkpoints (mirroring cli/infer.py's from_wav branch — flagship
+    configs/seld_tpu.yml sets feature_root_dir: null by design)."""
+    root = cfg.get("feature_root_dir")
+    if root:
+        store = FeatureStore(root, audio_format)
+        if store.has_scaler():
+            return store.read_scaler()
+    npz = os.path.join(os.path.dirname(cfg.dir.model.best), "feature_scaler.npz")
+    if os.path.isfile(npz):
+        blob = np.load(npz)
+        return blob["mean"], blob["std"]
+    raise FileNotFoundError(
+        "no train-split scaler found: neither a feature-store scaler "
+        f"({root or 'feature_root_dir unset'}) nor {npz} — train first")
+
+
 def predict(exp_config: str, wav_dir: str, out_dir: str,
             exp_group_dir: str = "./outputs", exp_suffix: str = "",
             checkpoint_kind: str = "best", batch_size: int = 4,
             streaming: bool = False, block_frames: int = 160,
-            context_frames: int = 256, push_ms: float = 100.0):
+            context_frames: int = 256, push_ms: float = 100.0,
+            streams: int = 1):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
     d = cfg.data
     extractor = make_extractor(
         cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
-        hop_length=d.hop_len, n_mels=d.get("n_mels", 128),
+        hop_length=d.hop_len, win_length=d.get("win_len", d.n_fft),
+        n_mels=d.get("n_mels", 128), fmin=d.get("fmin", 50),
+        fmax=d.get("fmax", None), fmin_doa=d.get("fmin_doa", 50),
         fmax_doa=d.get("fmax_doa", None), jit=False,
     )
     model = build_model(
@@ -68,13 +90,13 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     state = ckpt.restore_checkpoint(path, state)
     logger.info("restored %s", path)
 
-    scaler = FeatureStore(cfg.feature_root_dir, d.audio_format).read_scaler()
+    scaler = _load_scaler(cfg, d.audio_format)
     interp_ratio = model.time_downsample_ratio * d.label_rate / (d.fs / d.hop_len)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if streaming:
         return _predict_streaming(
             cfg, d, model, variables, scaler, interp_ratio, wav_dir, out_dir,
-            wavs, block_frames, context_frames, push_ms)
+            wavs, block_frames, context_frames, push_ms, streams)
     pipe = SeldInferencePipeline(
         extractor, model, variables,
         scaler, interp_ratio, d.n_classes, d.get("output_format", "reg_xyz"),
@@ -83,24 +105,36 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     audio_seconds = 0.0
-    for start in range(0, len(wavs), batch_size):
-        group = wavs[start : start + batch_size]
-        audios = []
-        for w in group:
-            a, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
-            audio_seconds += a.shape[1] / fs
-            audios.append(a)
-        min_len = min(a.shape[1] for a in audios)
-        stacked = np.stack([a[:, :min_len] for a in audios])
+    done = 0
+
+    def _flush(group):
+        nonlocal done
+        stacked = np.stack([a for _, a in group])
         ev, doa = pipe(stacked)
-        for w, e_row, d_row in zip(group, ev, doa):
+        for (w, _), e_row, d_row in zip(group, ev, doa):
             write_classwise_csv(
                 os.path.join(out_dir, w[:-4] + ".csv"), e_row, d_row, d.n_classes,
                 sed_threshold=cfg.get("sed_threshold", 0.3),
                 max_frames=e_row.shape[0],
                 version=str(cfg.get("eval_version", "2021")),
             )
-        logger.info("%d/%d predicted", min(start + batch_size, len(wavs)), len(wavs))
+        done += len(group)
+        logger.info("%d/%d predicted", done, len(wavs))
+
+    # batch clips by EXACT sample count: within a group, stacking is loss-free and
+    # each clip's prediction equals its solo run (padding instead would feed pad
+    # frames into the biGRU's backward pass; truncating drops tail predictions).
+    # Uniform-duration dirs (TNSSE 60 s clips) behave exactly like a plain batch
+    # loop; mixed-duration dirs cost one dispatch shape per distinct length.
+    buckets: dict[int, list[tuple[str, np.ndarray]]] = {}
+    for w in wavs:
+        a, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
+        audio_seconds += a.shape[1] / d.fs
+        buckets.setdefault(a.shape[1], []).append((w, a))
+        if len(buckets[a.shape[1]]) == batch_size:
+            _flush(buckets.pop(a.shape[1]))
+    for length in sorted(buckets):
+        _flush(buckets.pop(length))
     dt = time.time() - t0
     logger.info("served %.0f audio-s in %.1f s (%.0fx realtime)", audio_seconds, dt,
                 audio_seconds / max(dt, 1e-9))
@@ -108,34 +142,56 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
 
 
 def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
-                       out_dir, wavs, block_frames, context_frames, push_ms):
-    """Simulated-live serving: each wav is fed through the streaming pipeline in
+                       out_dir, wavs, block_frames, context_frames, push_ms,
+                       streams: int = 1):
+    """Simulated-live serving: wavs are fed through the streaming pipeline in
     push_ms packets; predictions accumulate block by block and land in the same
-    submission CSVs the batch path writes. Logs per-block compute latency (the
-    serving overhead on top of the algorithmic block+context lookahead)."""
+    submission CSVs the batch path writes. With --streams N, N equal-length
+    clips ride ONE fused dispatch per block (the multi-stream pipeline) —
+    per-block latency stays near the single-stream cost while throughput
+    scales ~N x. Clips are grouped by exact sample count (lockstep streams);
+    short groups are padded with silent dummy streams so one compiled pipeline
+    serves every group. Logs per-block compute latency (the serving overhead
+    on top of the algorithmic block+context lookahead)."""
     from salsa_tpu.streaming import StreamingExtractor, StreamingSeldPipeline
 
     os.makedirs(out_dir, exist_ok=True)
     push = max(1, int(push_ms * d.fs / 1000))
+    N = max(1, int(streams))
     se = StreamingExtractor(
         cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
         hop_length=d.hop_len, block_frames=block_frames,
-        n_mels=d.get("n_mels", 128),
+        n_mels=d.get("n_mels", 128), n_streams=N,
         **({"fmax_doa": d.fmax_doa} if d.get("fmax_doa") else {}))
     pipe = StreamingSeldPipeline(
         se, model, variables, scaler, interp_ratio, d.n_classes,
         d.get("output_format", "reg_xyz"),
         left_context=context_frames, right_context=context_frames)
     lat, audio_seconds = [], 0.0
-    t_all = time.time()
+
+    buckets: dict[int, list[str]] = {}
     for w in wavs:
-        audio, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
-        audio_seconds += audio.shape[1] / d.fs
+        # header-only read would do; re-read below keeps memory at one group
+        a, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
+        audio_seconds += a.shape[1] / d.fs
+        buckets.setdefault(a.shape[1], []).append(w)
+    groups = [(n, names[i : i + N]) for n, names in sorted(buckets.items())
+              for i in range(0, len(names), N)]
+
+    t_all = time.time()
+    for n_samples, group in groups:
+        first, _ = read_wav(os.path.join(wav_dir, group[0]), target_fs=d.fs)
+        audio = np.zeros((N,) + first.shape, np.float32)  # pad rows stay silent
+        audio[0] = first
+        for s, w in enumerate(group[1:], start=1):
+            audio[s], _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
+        if N == 1:
+            audio = audio[0]
         pipe.reset()
         outs, i = [], 0
-        while i < audio.shape[1]:
+        while i < n_samples:
             t0 = time.time()
-            got = pipe.push(audio[:, i : i + push])
+            got = pipe.push(audio[..., i : i + push])
             if got:
                 lat.append(time.time() - t0)
                 outs += got
@@ -143,21 +199,26 @@ def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
         t0 = time.time()
         outs += pipe.flush()
         lat.append(time.time() - t0)
-        ev = np.concatenate([o[0] for o in outs], axis=0)
-        doa = np.concatenate([o[1] for o in outs], axis=0)
-        write_classwise_csv(
-            os.path.join(out_dir, w[:-4] + ".csv"), ev, doa, d.n_classes,
-            sed_threshold=cfg.get("sed_threshold", 0.3), max_frames=ev.shape[0],
-            version=str(cfg.get("eval_version", "2021")))
+        ev = np.concatenate([o[0] for o in outs], axis=-2)
+        doa = np.concatenate([o[1] for o in outs], axis=-2)
+        for s, w in enumerate(group):
+            ev_s = ev[s] if N > 1 else ev
+            doa_s = doa[s] if N > 1 else doa
+            write_classwise_csv(
+                os.path.join(out_dir, w[:-4] + ".csv"), ev_s, doa_s, d.n_classes,
+                sed_threshold=cfg.get("sed_threshold", 0.3),
+                max_frames=ev_s.shape[0],
+                version=str(cfg.get("eval_version", "2021")))
     dt = time.time() - t_all
     lat_ms = 1e3 * np.array(lat)
     algo_ms = (block_frames + context_frames + se.latency_frames) \
         * d.hop_len / d.fs * 1e3
     logger.info(
-        "streamed %.0f audio-s in %.1f s (%.0fx realtime single-stream); "
-        "per-block compute latency p50 %.0f / p95 %.0f ms on top of the "
-        "algorithmic %.0f ms lookahead (block %d + context %d + halo %d frames)",
-        audio_seconds, dt, audio_seconds / max(dt, 1e-9),
+        "streamed %.0f audio-s in %.1f s (%.0fx realtime aggregate, %d "
+        "stream(s)/dispatch); per-block compute latency p50 %.0f / p95 %.0f ms "
+        "on top of the algorithmic %.0f ms lookahead (block %d + context %d + "
+        "halo %d frames)",
+        audio_seconds, dt, audio_seconds / max(dt, 1e-9), N,
         np.percentile(lat_ms, 50), np.percentile(lat_ms, 95), algo_ms,
         block_frames, context_frames, se.latency_frames)
     return out_dir
@@ -181,10 +242,13 @@ def main():
                    help="streaming: model context each side of a block")
     p.add_argument("--push-ms", type=float, default=100.0,
                    help="streaming: sample packet size")
+    p.add_argument("--streams", type=int, default=1,
+                   help="streaming: serve N equal-length clips per fused "
+                        "dispatch (aggregate throughput ~N x)")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
             a.checkpoint, a.batch_size, a.streaming, a.block_frames,
-            a.context_frames, a.push_ms)
+            a.context_frames, a.push_ms, a.streams)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,23 @@ def initialize(coordinator_address: str | None = None,
     )
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align every process at a named COORDINATION-SERVICE barrier — unlike
+    `multihost_utils.sync_global_devices` this is not a device collective, so
+    it works before any gloo/ICI communicator exists and is the right fence
+    ahead of the first collective-bearing dispatch: gloo's communicator
+    rendezvous has a hard 30 s timeout, which heavily skewed process setup
+    (big first-step compiles timesharing a small host) can overshoot.
+    No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0
 

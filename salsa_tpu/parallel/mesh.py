@@ -51,6 +51,19 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_global(mesh: Mesh, x, spec: P):
+    """Lay one host array onto the mesh with the given PartitionSpec —
+    multi-process safe counterpart of `jax.device_put(x, NamedSharding(...))`
+    for values every process holds in FULL and identically (e.g. a resident
+    split each process loaded itself): each process materializes only the
+    shards its local devices own."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def param_sharding(mesh: Mesh, params):
     """PartitionSpecs for model parameters: shard the largest dense/recurrent matrices
     over the 'model' axis (last dim), replicate the rest. With a 1-sized model axis

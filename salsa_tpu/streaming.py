@@ -65,7 +65,8 @@ class StreamingExtractor:
 
     def __init__(self, feature_type: str = "salsa", audio_format: str = "foa",
                  fs: int = 24000, n_fft: int = 512, hop_length: int = 300,
-                 block_frames: int = 160, n_channels: int = 4, **kwargs):
+                 block_frames: int = 160, n_channels: int = 4,
+                 n_streams: int = 1, **kwargs):
         if feature_type not in FUSED_FEATURE_TYPES:
             raise ValueError(
                 f"streaming supports feature types {FUSED_FEATURE_TYPES}; "
@@ -77,6 +78,11 @@ class StreamingExtractor:
         self.hop = hop_length
         self.block_frames = int(block_frames)
         self.n_channels = n_channels
+        # N synchronized streams share one block clock (one fused dispatch
+        # extracts + predicts all of them): push (N, C, n) packets. N=1 keeps
+        # the plain (C, n) API. All device math is vmapped over the stream
+        # axis; the host buffer holds the N streams stacked as N*C rows.
+        self.n_streams = int(n_streams)
 
         chunk_fn, params = make_chunk_extractor(
             feature_type, audio_format, self.block_frames, fs, n_fft,
@@ -99,8 +105,10 @@ class StreamingExtractor:
         def block(window, floor, cd):
             return chunk_fn(window, n_win, jnp.int32(h), floor, cd)
 
-        self._block_fn = jax.jit(block)
-        self._init_fn = (jax.jit(self._make_tracker_init())
+        # all device math carries a leading stream axis (size 1 for the plain
+        # single-stream API) so N streams cost one dispatch, not N
+        self._block_fn = jax.jit(jax.vmap(block))
+        self._init_fn = (jax.jit(jax.vmap(self._make_tracker_init()))
                          if self._tracking else None)
 
         self.reset()
@@ -176,13 +184,14 @@ class StreamingExtractor:
         rel = start - self._pos
         if self._buf is None or rel + self._win_len > self._buf.shape[1]:
             return None
-        window = jnp.asarray(self._buf[:, rel : rel + self._win_len])
+        window = jnp.asarray(self._buf[:, rel : rel + self._win_len].reshape(
+            self.n_streams, self.n_channels, self._win_len))
         if self._tracking and self._tracker is None:
             fl, cd = self._init_fn(window)
             self._tracker = (fl, cd)
         if self._tracker is None:
-            fl = jnp.zeros((self._n_band,), jnp.float32)
-            cd = jnp.zeros((self._n_band,), jnp.int32)
+            fl = jnp.zeros((self.n_streams, self._n_band), jnp.float32)
+            cd = jnp.zeros((self.n_streams, self._n_band), jnp.int32)
         else:
             fl, cd = self._tracker
         return window, fl, cd
@@ -204,20 +213,31 @@ class StreamingExtractor:
         while (inp := self._next_input()) is not None:
             feats, fl_out, cd_out = self._block_fn(*inp)
             self._commit(fl_out, cd_out)
-            out.append(np.asarray(feats))
+            feats = np.asarray(feats)  # (N, C, L, F)
+            out.append(feats[0] if self.n_streams == 1 else feats)
         return out
 
     # -- public API ----------------------------------------------------------
 
     def ingest(self, samples: np.ndarray) -> None:
-        """Buffer (n_channels, n) samples without emitting (the bookkeeping
-        half of `push`; StreamingSeldPipeline drives emission itself)."""
+        """Buffer samples without emitting (the bookkeeping half of `push`;
+        StreamingSeldPipeline drives emission itself). Shape (n_channels, n)
+        for a single stream; (n_streams, n_channels, n) for synchronized
+        multi-stream serving — every stream advances by the same n samples."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
         samples = np.asarray(samples, dtype=np.float32)
-        if samples.ndim != 2 or samples.shape[0] != self.n_channels:
-            raise ValueError(
-                f"expected ({self.n_channels}, n) samples, got {samples.shape}")
+        if self.n_streams == 1:
+            if samples.ndim != 2 or samples.shape[0] != self.n_channels:
+                raise ValueError(
+                    f"expected ({self.n_channels}, n) samples, got {samples.shape}")
+        else:
+            if samples.ndim != 3 or samples.shape[:2] != (self.n_streams,
+                                                          self.n_channels):
+                raise ValueError(
+                    f"expected ({self.n_streams}, {self.n_channels}, n) "
+                    f"samples, got {samples.shape}")
+            samples = samples.reshape(-1, samples.shape[-1])
         self._samples_seen += samples.shape[1]
         if self._buf is None:
             self._pending.append(samples)
@@ -273,14 +293,17 @@ class StreamingExtractor:
     def flush(self) -> np.ndarray:
         """End of stream: reproduce the offline extractor's trailing reflect pad
         and emit the remaining frames. Returns (n_feat_ch, n_remaining, F) —
-        possibly zero-length."""
+        with a leading n_streams axis for multi-stream; possibly zero-length."""
+        empty = np.zeros((0, 0, 0) if self.n_streams == 1 else
+                         (self.n_streams, 0, 0, 0), np.float32)
         remaining = self._flush_pad()
         if remaining <= 0:
-            return np.zeros((0, 0, 0), np.float32)
+            return empty
         blocks = self._emit_ready()
-        feats = (np.concatenate(blocks, axis=1) if blocks
-                 else np.zeros((0, 0, 0), np.float32))
-        return feats[:, :remaining]
+        if not blocks:
+            return empty
+        feats = np.concatenate(blocks, axis=-2)  # time axis in both layouts
+        return feats[..., :remaining, :]
 
 
 class StreamingSeldPipeline:
@@ -307,6 +330,14 @@ class StreamingSeldPipeline:
 
     Emits (event_prob, doa_xyz) at label rate per completed block, like
     SeldInferencePipeline but incrementally.
+
+    Multi-stream serving: build the StreamingExtractor with n_streams=N to
+    serve N synchronized live streams from ONE fused dispatch per block —
+    the streams ride the model's batch dimension (and the extractor's vmap),
+    so per-block latency stays near the single-stream cost while aggregate
+    realtime capacity scales ~N× (the single-stream dispatch is dominated by
+    transport + underfilled compute). push() then takes (N, C, n) packets and
+    the emitted (event_prob, doa_xyz) carry a leading stream axis.
     """
 
     def __init__(self, extractor: StreamingExtractor, model, variables, scaler,
@@ -345,18 +376,20 @@ class StreamingSeldPipeline:
         self._nb = self._d + self._lb
         self._off = self._lb * L - self.left
         # block array shape without running anything (abstract eval)
+        N = extractor.n_streams
+        self.n_streams = N
         fspec = jax.eval_shape(
             extractor._block_fn,
-            jax.ShapeDtypeStruct((extractor.n_channels, extractor._win_len),
+            jax.ShapeDtypeStruct((N, extractor.n_channels, extractor._win_len),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((extractor._n_band,), jnp.float32),
-            jax.ShapeDtypeStruct((extractor._n_band,), jnp.int32))[0]
-        self._block_shape = fspec.shape  # (C, L, F)
+            jax.ShapeDtypeStruct((N, extractor._n_band), jnp.float32),
+            jax.ShapeDtypeStruct((N, extractor._n_band), jnp.int32))[0]
+        self._block_shape = fspec.shape  # (N, C, L, F)
         pad = np.zeros(self._block_shape, np.float32)
-        pad[: self._mean.shape[0]] = self._mean  # normalizes to exactly 0
+        pad[:, : self._mean.shape[0]] = self._mean  # normalizes to exactly 0
         self._pad_block = jnp.asarray(pad)
         self._zero_window = jnp.zeros(
-            (extractor.n_channels, extractor._win_len), jnp.float32)
+            (N, extractor.n_channels, extractor._win_len), jnp.float32)
         self._step_fn = jax.jit(self._step)
         self.reset(reset_extractor=False)
 
@@ -378,23 +411,27 @@ class StreamingSeldPipeline:
     # -- the fused per-block dispatch -----------------------------------------
 
     def _step(self, window, floor, cd, prev_blocks, valid, params, batch_stats):
-        """One streaming step: extract the next feature block from its sample
-        window, mask frames >= valid to the pad value (pre-normalization mean,
-        i.e. normalized zero), and predict the block `d-1` behind it from the
-        assembled context window. Everything stays on device; the packed
-        label-rate output is the only thing worth fetching."""
+        """One streaming step: extract the next feature block of EVERY stream
+        from its sample window (vmapped over the stream axis), mask frames >=
+        valid to the pad value (pre-normalization mean, i.e. normalized zero),
+        and predict the block `d-1` behind it from the assembled context
+        window — the N streams ride the model's batch dimension, so N-stream
+        serving is one dispatch with an N-fold larger matmul batch, not N
+        dispatches. Everything stays on device; the packed label-rate output
+        is the only thing worth fetching."""
         feats, fl_out, cd_out = self.extractor._block_fn(window, floor, cd)
         L = self.extractor.block_frames
-        idx = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+        idx = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
         feats = jnp.where(idx < valid, feats, self._pad_block)
-        stacked = jnp.concatenate(prev_blocks + (feats,), axis=1)
+        stacked = jnp.concatenate(prev_blocks + (feats,), axis=2)
         featw = jax.lax.slice_in_dim(stacked, self._off, self._off + self._W,
-                                     axis=1)
+                                     axis=2)
         n_sc = self._mean.shape[0]
         featw = jnp.concatenate(
-            [(featw[:n_sc] - self._mean) / self._std, featw[n_sc:]], axis=0)
+            [(featw[:, :n_sc] - self._mean) / self._std, featw[:, n_sc:]],
+            axis=1)
         out = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, featw[None],
+            {"params": params, "batch_stats": batch_stats}, featw,
             train=False)
         e0, en = self.left // self.ds, L // self.ds
         ev = interpolate_index_repeat(
@@ -407,7 +444,7 @@ class StreamingSeldPipeline:
             event_prob = jnp.sqrt(x**2 + y**2 + z**2)
         else:
             event_prob = jax.nn.sigmoid(ev)
-        packed = jnp.concatenate([event_prob[0], doa[0]], axis=-1)
+        packed = jnp.concatenate([event_prob, doa], axis=-1)  # (N, T, 4n)
         return feats, fl_out, cd_out, packed
 
     def _run_step(self, window, floor, cd, valid: int):
@@ -420,14 +457,18 @@ class StreamingSeldPipeline:
         self._m += 1
         if self._m - self._d < self._next_k:  # window not yet in stream
             return None, fl_out, cd_out
-        packed = np.asarray(packed)
+        packed = np.asarray(packed)  # (N, T, 4n)
+        if self.n_streams == 1:
+            packed = packed[0]
         self._next_k += 1
-        return ((packed[:, : self.n_classes], packed[:, self.n_classes :]),
+        return ((packed[..., : self.n_classes], packed[..., self.n_classes :]),
                 fl_out, cd_out)
 
     def push(self, samples: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Feed samples; returns [(event_prob, doa_xyz)] — label-rate arrays of
-        self.label_frames_per_block frames — for each block completed."""
+        """Feed samples — (C, n), or (N, C, n) for n_streams=N — and get
+        [(event_prob, doa_xyz)] label-rate arrays of
+        self.label_frames_per_block frames (leading stream axis when N>1)
+        for each block completed."""
         ext = self.extractor
         ext.ingest(samples)
         results = []
@@ -462,8 +503,8 @@ class StreamingSeldPipeline:
         # predict the blocks still inside the lookahead, feeding pad context
         # (valid=0 turns the step's extraction into a pad block)
         n_total_blocks = -(-total // L)
-        zf = jnp.zeros((ext._n_band,), jnp.float32)
-        zc = jnp.zeros((ext._n_band,), jnp.int32)
+        zf = jnp.zeros((ext.n_streams, ext._n_band), jnp.float32)
+        zc = jnp.zeros((ext.n_streams, ext._n_band), jnp.int32)
         while self._next_k < n_total_blocks:
             res, _, _ = self._run_step(self._zero_window, zf, zc, valid=0)
             if res is not None:
@@ -474,5 +515,5 @@ class StreamingSeldPipeline:
             n_valid = int(round(np.floor((total - b0) / self.ds)
                                 * self.interp_ratio))
             ev, doa = results[-1]
-            results[-1] = (ev[:n_valid], doa[:n_valid])
+            results[-1] = (ev[..., :n_valid, :], doa[..., :n_valid, :])
         return results

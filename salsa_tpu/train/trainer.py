@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from salsa_tpu.data.dataset import SeldChunkDataset, batch_iterator, prefetch
 from salsa_tpu.metrics.scorer import evaluate_submissions
 from salsa_tpu.models.seld import interpolate_index_repeat
-from salsa_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from salsa_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    shard_global,
+)
 from salsa_tpu.train import checkpoint as ckpt
 from salsa_tpu.train.losses import seld_loss, accdoa_loss
 from salsa_tpu.train.state import (
@@ -526,6 +531,7 @@ class SeldTrainer:
                 self._setup_sharded_resident(train_data, store_dtype, augment_fn,
                                              loss_weight)
                 self.device_data = False  # epoch loop takes the shard branch
+                self.device_data_shard = True
             else:
                 # the resident split replicates over the mesh so every device can
                 # slice arbitrary chunk windows locally; per-step index vectors
@@ -611,9 +617,8 @@ class SeldTrainer:
             o, L = int(clip_offsets[ci]), int(clip_lens[ci])
             by_clip[ci, :, :L] = feats[:, o : o + L]
 
-        shard_sharding = NamedSharding(self.mesh, P("data"))
-        self._dev_features_sharded = jax.device_put(
-            jnp.asarray(by_clip, dtype=store_dtype), shard_sharding)
+        self._dev_features_sharded = shard_global(
+            self.mesh, by_clip.astype(store_dtype), P("data"))
         self._dev_sed = replicate(self.mesh, jnp.asarray(train_data.sed_targets))
         self._dev_doa = replicate(self.mesh, jnp.asarray(train_data.doa_targets))
 
@@ -730,8 +735,7 @@ class SeldTrainer:
                 waves = np.concatenate([waves, np.zeros(
                     (n_clips_pad - n_clips,) + waves.shape[1:], waves.dtype)])
             m = n_clips_pad // n_data
-            self._dev_waves = jax.device_put(
-                jnp.asarray(waves), NamedSharding(self.mesh, P("data")))
+            self._dev_waves = shard_global(self.mesh, waves, P("data"))
             shard_of_chunk = clip_of_chunk // m
             self._shard_chunk_ids = [np.where(shard_of_chunk == d)[0]
                                      for d in range(n_data)]
@@ -794,12 +798,27 @@ class SeldTrainer:
             batch_stats=replicate(self.mesh, self.state.batch_stats),
             opt_state=replicate(self.mesh, self.state.opt_state),
         )
-        start_epoch = int(self.state.step) // self.steps_per_epoch
+        # Prefer the sidecar's recorded epoch: step // steps_per_epoch drifts when
+        # steps_per_epoch changed between runs (different train_fraction, dataset
+        # size, or a shard-balance cap) — the schedule is step-based so quality is
+        # unaffected, but epoch numbering / remaining-epoch accounting must not be.
+        meta = ckpt.load_metadata(resume_from)
+        if "epoch" in meta:
+            start_epoch = int(meta["epoch"]) + 1
+        else:
+            start_epoch = int(self.state.step) // self.steps_per_epoch
         logger.info("Resumed from %s at step %d (epoch %d)",
                     resume_from, self.state.step, start_epoch)
         return start_epoch
 
     def fit(self, resume_from: str | None = None):
+        if self._n_proc > 1:
+            # re-align wall clocks before the first collective-bearing dispatch
+            # (data loading / scaler fitting / tracker checkpointing above can
+            # skew processes past gloo's 30 s communicator rendezvous timeout)
+            from salsa_tpu.parallel.distributed import barrier
+
+            barrier("fit_start")
         start_epoch = 0
         if resume_from:
             start_epoch = self.restore(resume_from)
@@ -898,11 +917,23 @@ class SeldTrainer:
                 if k == 0:
                     break
                 idx = order[i : i + k * self.batch_size].reshape(k, self.batch_size)
-                put = lambda a: jax.device_put(a, self._starts_sharding)
+                if self._n_proc > 1:
+                    # each process contributes only its own batch columns (the
+                    # stratified order puts shard d's chunks in column block d,
+                    # and the mesh data axis lists each process's devices
+                    # contiguously, so local columns == local device shards)
+                    from salsa_tpu.parallel.distributed import local_batch_slice
+
+                    sel = idx[:, local_batch_slice(self.batch_size)]
+                    put = lambda a: jax.make_array_from_process_local_data(
+                        self._starts_sharding, np.ascontiguousarray(a))
+                else:
+                    sel = idx
+                    put = lambda a: jax.device_put(a, self._starts_sharding)
                 self.state, metrics = self._train_step_shard(
                     self.state, self._dev_features_sharded, self._dev_sed,
-                    self._dev_doa, put(self._shard_clip_local[idx]),
-                    put(self._shard_f0[idx]), put(self._shard_l_starts[idx]),
+                    self._dev_doa, put(self._shard_clip_local[sel]),
+                    put(self._shard_f0[sel]), put(self._shard_l_starts[sel]),
                     self._dropout_rng,
                 )
                 pending.append(jax.tree.map(jnp.sum, metrics))

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--push-ms", type=float, default=100.0)
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--encoder", default="PannResNet22TPU")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="N synchronized streams in one fused dispatch per "
+                         "block; aggregate realtime = N x per-stream rate")
     args = ap.parse_args()
 
     import jax
@@ -45,8 +48,10 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     eig = "power" if jax.default_backend() == "cpu" else "pallas"
+    N = args.streams
     se = StreamingExtractor("salsa", "foa", fs=fs, n_fft=n_fft, hop_length=hop,
-                            block_frames=args.block, eig_method=eig)
+                            block_frames=args.block, eig_method=eig,
+                            n_streams=N)
     model = build_model(encoder={"name": args.encoder, "n_input_channels": 7},
                         decoder={"name": "SeldDecoder"}, n_classes=12)
     F = se.params.freq_dim
@@ -62,14 +67,17 @@ def main():
     n = int(args.seconds * fs)
     rng = np.random.default_rng(0)
     t = np.arange(n) / fs
-    wave = (0.05 * rng.standard_normal((4, n))).astype(np.float32)
-    wave += 0.3 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    wave = (0.05 * rng.standard_normal((N, 4, n))).astype(np.float32)
+    wave += (0.3 * np.sin(2 * np.pi * (440.0 + 30 * np.arange(N))[:, None]
+                          * t[None, :])).astype(np.float32)[:, None, :]
+    if N == 1:
+        wave = wave[0]
 
     push = int(args.push_ms * fs / 1000)
     # warm up compiles (extractor init + block fn + model window), then reset
     i = 0
     while i < 4 * push + (args.block + 2 * args.context) * hop:
-        pipe.push(wave[:, i : i + push])
+        pipe.push(wave[..., i : i + push])
         i += push
     pipe.reset()
     print("warmed up", flush=True)
@@ -78,22 +86,23 @@ def main():
     t_start = time.perf_counter()
     while i < n:
         t0 = time.perf_counter()
-        outs = pipe.push(wave[:, i : i + push])
+        outs = pipe.push(wave[..., i : i + push])
         dt = time.perf_counter() - t0
         if outs:
             lat.append(dt)
-            n_out += sum(o[0].shape[0] for o in outs)
+            n_out += sum(o[0].shape[-2] for o in outs)
         i += push
     t0 = time.perf_counter()
     outs = pipe.flush()
     lat.append(time.perf_counter() - t0)
-    n_out += sum(o[0].shape[0] for o in outs)
+    n_out += sum(o[0].shape[-2] for o in outs)
     wall = time.perf_counter() - t_start
 
     lat_ms = np.array(lat) * 1e3
     algo_ms = (args.block + args.context + se.latency_frames) * hop / fs * 1e3
-    print(f"stream {args.seconds:.0f}s: {n_out} label frames, wall {wall:.2f}s "
-          f"({args.seconds / wall:.1f}x realtime single-stream)")
+    print(f"{N} stream(s) x {args.seconds:.0f}s: {n_out} label frames/stream, "
+          f"wall {wall:.2f}s ({args.seconds / wall:.1f}x realtime per stream, "
+          f"{N * args.seconds / wall:.1f}x aggregate)")
     print(f"per-block compute latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
           f"p95 {np.percentile(lat_ms, 95):.1f} max {lat_ms.max():.1f}")
     print(f"algorithmic lookahead: {algo_ms:.0f} ms "

@@ -1,0 +1,201 @@
+"""Measured quality evidence for TTA and ensemble fusion (VERDICT r3 items 2+3).
+
+The reference demonstrates both techniques as quality wins (README.md:74-77: TTA
+is worth ER -0.028 / F +0.020 on its trained model; README.md:46-47: the 2nd-place
+DCASE2021 entry was an ensemble). The machinery here is exactness-tested, but a
+capability whose point is a quality gain is unproven until the gain is measured —
+this script measures it on the synthetic-sanity problem:
+
+  1. synthesize a 48-clip FOA corpus + extract SALSA features once;
+  2. train N members (identical config, different seeds);
+  3. score each member's val split with and without --tta (batched TTA);
+  4. fuse the members' prediction dumps (output-space ensemble) and score;
+  5. SWA-average the tail checkpoints of member 1 and score.
+
+Prints one JSON line per measurement plus a summary table for BENCH.md.
+
+Run solo on the TPU:  python scripts/quality_evidence.py [--epochs 48 --clips 48]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/salsa_tpu_jit_cache")
+
+from synthetic_sanity import synth_clip, FS, N_CLASSES, LABEL_RATE, CLIP_SECONDS  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=48)
+    ap.add_argument("--members", type=int, default=3)
+    ap.add_argument("--swa-tail", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/salsa_tpu_quality")
+    ap.add_argument("--data-seed", type=int, default=11)
+    args = ap.parse_args()
+
+    import jax
+    import yaml
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/salsa_tpu_jit_cache")
+    from salsa_tpu.utils.audio_io import write_wav
+
+    root = args.workdir
+    data_dir = os.path.join(root, "task3")
+    os.makedirs(os.path.join(data_dir, "foa_dev"), exist_ok=True)
+    os.makedirs(os.path.join(data_dir, "metadata_dev"), exist_ok=True)
+    meta_dir = os.path.join(root, "meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    rng = np.random.default_rng(args.data_seed)
+    names = [f"synth{i:03d}" for i in range(args.clips)]
+    for name in names:
+        wav_path = os.path.join(data_dir, "foa_dev", name + ".wav")
+        if not os.path.isfile(wav_path):
+            audio, gt = synth_clip(rng, audio_format="foa")
+            write_wav(wav_path, audio, FS, bits=16)
+            with open(os.path.join(data_dir, "metadata_dev", name + ".csv"),
+                      "w") as f:
+                f.write(gt)
+    n_val = max(4, args.clips // 6)
+    with open(os.path.join(meta_dir, "train.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(names[:-n_val]))
+    with open(os.path.join(meta_dir, "val.csv"), "w") as f:
+        f.write("filename\n" + "\n".join(names[-n_val:]))
+
+    data_cfg = {"data_dir": data_dir, "feature_dir": os.path.join(root, "features"),
+                "data": {"format": "foa", "fs": FS, "n_fft": 512, "win_len": 512,
+                         "hop_len": 300, "fmin_doa": 50, "fmax_doa": 9000}}
+    with open(os.path.join(root, "data.yml"), "w") as f:
+        yaml.safe_dump(data_cfg, f)
+    from salsa_tpu.cli.extract import extract_features
+
+    t0 = time.time()
+    feature_dir = extract_features(os.path.join(root, "data.yml"),
+                                   feature_type="salsa", task="feature_scaler",
+                                   keep_existing=True)
+    print(f"extraction: {time.time()-t0:.1f}s", flush=True)
+
+    def write_exp(seed: int) -> str:
+        exp_cfg = {
+            "name": "q", "feature_root_dir": feature_dir, "feature_type": "salsa",
+            "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir,
+            "seed": seed, "mode": "crossval",
+            "data": {"fs": FS, "n_fft": 512, "hop_len": 300,
+                     "audio_format": "foa", "fmin_doa": 50, "fmax_doa": 9000,
+                     "label_rate": LABEL_RATE, "train_chunk_len_s": 8,
+                     "train_chunk_hop_len_s": 1.0,
+                     "test_chunk_len_s": CLIP_SECONDS,
+                     "test_chunk_hop_len_s": CLIP_SECONDS + 0.1,
+                     "n_classes": N_CLASSES, "output_format": "reg_xyz",
+                     "max_file_len_s": CLIP_SECONDS},
+            "model": {
+                "encoder": {"name": "PannResNet22TPU", "n_input_channels": 7,
+                            "compute_dtype": "bfloat16"},
+                "decoder": {"name": "SeldDecoder", "decoder_type": "bigru",
+                            "decoder_size": 128, "freq_pool": "avg",
+                            "compute_dtype": "bfloat16"},
+            },
+            "training": {"train_batch_size": 16, "optimizer": "adam",
+                         "device_data": True, "device_augment": True,
+                         "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
+                                          "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
+                                          "moms": [0.9, 0.9, 0.9, 0.9]},
+                         "loss_weight": [0.3, 0.7],
+                         "max_epochs": args.epochs,
+                         "val_interval": max(1, args.epochs // 4)},
+            "sed_threshold": 0.3, "doa_threshold": 20, "eval_version": "2021",
+        }
+        path = os.path.join(root, "exp.yml")
+        with open(path, "w") as f:
+            yaml.safe_dump(exp_cfg, f)
+        return path
+
+    from salsa_tpu.cli.infer import inference
+    from salsa_tpu.cli.train import train
+
+    out_root = os.path.join(root, "outputs")
+    results = {}
+    member_scores = []
+    pred_dirs = []
+    for m in range(args.members):
+        seed = 100 + m
+        exp_path = write_exp(seed)
+        suffix = f"_m{m}"
+        exp_dir = os.path.join(out_root, "crossval", "foa", "salsa",
+                               f"exp{suffix}")
+        if not os.path.isdir(os.path.join(exp_dir, "models", "best")) or not any(
+                f.endswith(".msgpack")
+                for f in os.listdir(os.path.join(exp_dir, "models", "best"))):
+            t0 = time.time()
+            train(exp_path, exp_group_dir=out_root, exp_suffix=suffix)
+            print(f"member {m} (seed {seed}) trained in {time.time()-t0:.0f}s",
+                  flush=True)
+        t0 = time.time()
+        r = inference(exp_path, exp_group_dir=out_root, exp_suffix=suffix,
+                      splits=["val"])
+        dt_plain = time.time() - t0
+        member_scores.append(r["val"])
+        pred_dirs.append(os.path.join(exp_dir, "outputs", "predictions", "val"))
+        print(json.dumps({"member": m, "seed": seed, "val": r["val"],
+                          "infer_s": round(dt_plain, 1)}), flush=True)
+        if m == 0:
+            t0 = time.time()
+            r_tta = inference(exp_path, exp_group_dir=out_root,
+                              exp_suffix=suffix, splits=["val"], use_tta=True)
+            dt_tta = time.time() - t0
+            results["tta"] = {"no_tta": r["val"], "tta": r_tta["val"],
+                              "infer_s": round(dt_plain, 1),
+                              "tta_infer_s": round(dt_tta, 1)}
+            print(json.dumps({"tta_row": results["tta"]}), flush=True)
+            # restore the no-TTA dumps for the ensemble stage (TTA overwrote them)
+            inference(exp_path, exp_group_dir=out_root, exp_suffix=suffix,
+                      splits=["val"])
+
+    # ---- output-space ensemble of all members ----
+    from salsa_tpu.cli.ensemble import ensemble
+
+    fused_dir = os.path.join(root, "fused")
+    shutil.rmtree(fused_dir, ignore_errors=True)
+    ens = ensemble(pred_dirs, fused_dir, n_classes=N_CLASSES,
+                   gt_meta_dir=os.path.join(data_dir, "metadata_dev"))
+    results["ensemble"] = {
+        "members": [s["seld_error"] for s in member_scores],
+        "best_member": min(s["seld_error"] for s in member_scores),
+        "fused": ens["seld_error"], "scores": ens,
+    }
+    print(json.dumps({"ensemble_row": results["ensemble"]}), flush=True)
+
+    # ---- SWA over member 0's tail checkpoints ----
+    from salsa_tpu.train.ensemble import average_checkpoint_files
+
+    m0_dir = os.path.join(out_root, "crossval", "foa", "salsa", "exp_m0")
+    ckpt_dir = os.path.join(m0_dir, "models", "checkpoint")
+    tail = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack"))
+    tail = [os.path.join(ckpt_dir, f) for f in tail[-args.swa_tail:]]
+    swa_exp = write_exp(100)
+    swa_dir = os.path.join(out_root, "crossval", "foa", "salsa", "exp_swa")
+    shutil.rmtree(swa_dir, ignore_errors=True)
+    os.makedirs(os.path.join(swa_dir, "models", "checkpoint"), exist_ok=True)
+    average_checkpoint_files(
+        tail, os.path.join(swa_dir, "models", "checkpoint", "epoch000.msgpack"))
+    r_swa = inference(swa_exp, exp_group_dir=out_root, exp_suffix="_swa",
+                      splits=["val"], checkpoint_kind="last")
+    results["swa"] = {"n_ckpts": len(tail), "member0": member_scores[0],
+                      "swa": r_swa["val"]}
+    print(json.dumps({"swa_row": results["swa"]}), flush=True)
+
+    print(json.dumps({"quality_evidence": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,8 +56,96 @@ def make_trainer():
                        gt_meta_dir=None, submission_dir="/tmp/salsa_mh", seed=0)
 
 
-def run(n_epochs: int = 2) -> list[float]:
-    trainer = make_trainer()
+def make_fromwav_trainer(workdir: str):
+    """Fused raw-wav training over a deterministic synthetic corpus, with
+    device_data_shard (the flagship large-scale config): exercises the
+    from_wav multi-process dispatch (make_array_from_process_local_data over
+    chunk-index blocks, trainer.py train_epoch) AND the clip-sharded wave
+    placement (shard_global) across a real process boundary."""
+    import numpy as np
+
+    from tests.test_from_wav import (
+        E2E_FS, E2E_HOP, E2E_NFFT, _geometry_db, _write_synth_corpus,
+    )
+    from salsa_tpu.data.wav_database import fit_scaler_from_waves, load_wav_split
+    from salsa_tpu.features.chunked import required_pad
+    from salsa_tpu.features.registry import make_extractor
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.train.trainer import SeldTrainer
+    from salsa_tpu.utils.config import AttrDict
+
+    os.makedirs(workdir, exist_ok=True)
+    names, meta_dir = _write_synth_corpus(workdir, np.random.default_rng(3),
+                                          n_clips=8, seconds=4.0)
+    extractor = make_extractor("salsa", "foa", fs=E2E_FS, n_fft=E2E_NFFT,
+                               hop_length=E2E_HOP, fmax_doa=3000.0,
+                               eig_method="power")
+    db = _geometry_db(os.path.join(workdir, "feat_unused"), workdir)
+    wav_split = load_wav_split(db, "train", os.path.join(workdir, "foa_dev"),
+                               split_meta_dir=meta_dir, n_channels=7,
+                               n_features=extractor.n_features,
+                               pad=required_pad("salsa", E2E_NFFT))
+    scaler = fit_scaler_from_waves(extractor, wav_split.clip_wavs, 4)
+    cfg = AttrDict({
+        "feature_type": "salsa",
+        "data": {"fs": E2E_FS, "n_fft": E2E_NFFT, "hop_len": E2E_HOP,
+                 "n_classes": 3, "fmax_doa": 3000.0, "audio_format": "foa",
+                 "label_rate": 10, "output_format": "reg_xyz",
+                 "max_file_len_s": 4.0},
+        "training": {"train_batch_size": 8, "max_epochs": 2, "from_wav": True,
+                     "device_data_shard": True, "eig_method": "power",
+                     "steps_per_dispatch": 1,
+                     "lr_scheduler": {"milestones": [0, 1], "lrs": [1e-3, 1e-3],
+                                      "moms": [0.9, 0.9]}},
+    })
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru",
+                 "decoder_size": 16, "freq_pool": "avg"},
+        n_classes=3)
+    return SeldTrainer(model=model, cfg=cfg, train_data=wav_split,
+                       val_data=None, gt_meta_dir=None,
+                       submission_dir=os.path.join(workdir, "sub"), seed=0,
+                       scaler=scaler)
+
+
+def make_shard_trainer():
+    """Feature-resident split sharded over the data axis: exercises
+    _setup_sharded_resident's shard_global placement and train_epoch's
+    sharded-branch process-local index feed."""
+    import numpy as np
+
+    from tests.test_shard_resident import build_split, make_cfg
+    from salsa_tpu.models.seld import build_model
+    from salsa_tpu.train.trainer import SeldTrainer
+
+    data = build_split(np.random.default_rng(5))
+    model = build_model(
+        encoder={"name": "PannResNet22", "n_input_channels": 7},
+        decoder={"name": "SeldDecoder", "decoder_type": "gru",
+                 "decoder_size": 16, "freq_pool": "avg"},
+        n_classes=3)
+    return SeldTrainer(model=model, cfg=make_cfg(True), train_data=data,
+                       val_data=None, gt_meta_dir=None,
+                       submission_dir="/tmp/salsa_mh", seed=3)
+
+
+def run(n_epochs: int = 2, mode: str = "", workdir: str = "/tmp/salsa_mh_wav") \
+        -> list[float]:
+    if mode == "fromwav":
+        trainer = make_fromwav_trainer(workdir)
+        assert trainer.from_wav and trainer._shard_chunk_ids is not None
+    elif mode == "shard":
+        trainer = make_shard_trainer()
+        assert trainer.device_data_shard
+    else:
+        trainer = make_trainer()
+    # re-align before the first collective-bearing dispatch: per-process setup
+    # (corpus synth, tracker checkpoints, scaler fit) can skew wall clocks past
+    # gloo's 30 s communicator-rendezvous timeout on this 1-core box
+    from salsa_tpu.parallel.distributed import barrier
+
+    barrier(f"pre_train_{mode or 'hostfed'}")
     return [float(trainer.train_epoch(e)["loss"]) for e in range(n_epochs)]
 
 
@@ -108,7 +196,13 @@ def main():
     if phase:
         losses = run_resume_phase(phase, os.environ["SALSA_MH_CKPT_DIR"])
     else:
-        losses = run()
+        # per-process corpus dir: identical (seeded) content, no write races
+        losses = run(
+            mode=os.environ.get("SALSA_MH_MODE", ""),
+            workdir=os.environ.get(
+                "SALSA_MH_WORKDIR",
+                f"/tmp/salsa_mh_wav_p{jax.process_index()}"),
+        )
     print(json.dumps({"pid": jax.process_index(), "losses": losses}), flush=True)
 
 

