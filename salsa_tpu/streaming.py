@@ -52,6 +52,18 @@ from salsa_tpu.features.salsa import (
 from salsa_tpu.models.seld import interpolate_index_repeat
 
 
+def _window_to_float(window):
+    """On-device PCM decode: int16 sample windows become float32/32768 —
+    identical to the offline wav reader (utils/audio_io.py int16 branch).
+    Exact: every int16/2**15 is representable in float32, so an int16 stream
+    produces bit-identical features to pushing the converted floats, while the
+    host->device transfer is half the bytes (the dominant per-block cost on
+    transport-bound links)."""
+    if window.dtype == jnp.int16:
+        return window.astype(jnp.float32) * (1.0 / 32768.0)
+    return window
+
+
 class StreamingExtractor:
     """Push-based feature extraction: feed (n_ch, n) sample arrays of ANY size,
     receive completed (n_feat_ch, block_frames, F) feature blocks.
@@ -103,7 +115,8 @@ class StreamingExtractor:
         n_win = jnp.int32(L + 2 * h)  # > any frame index used => mod is identity
 
         def block(window, floor, cd):
-            return chunk_fn(window, n_win, jnp.int32(h), floor, cd)
+            return chunk_fn(_window_to_float(window), n_win, jnp.int32(h),
+                            floor, cd)
 
         # all device math carries a leading stream axis (size 1 for the plain
         # single-stream API) so N streams cost one dispatch, not N
@@ -123,6 +136,7 @@ class StreamingExtractor:
         self._tracker: tuple[np.ndarray, np.ndarray] | None = None
         self._samples_seen = 0
         self._flushed = False
+        self._in_dtype: np.dtype | None = None
 
     # -- feature geometry ---------------------------------------------------
 
@@ -131,6 +145,13 @@ class StreamingExtractor:
         """Feature frames of lookahead before a frame's features can be emitted
         (excludes the sub-frame STFT window tail)."""
         return self.halo
+
+    @property
+    def in_dtype(self) -> np.dtype:
+        """The stream's sample dtype (int16 PCM or float32), float32 until the
+        first ingest fixes it."""
+        return self._in_dtype if self._in_dtype is not None else np.dtype(
+            np.float32)
 
     def total_frames(self, n_samples: int) -> int:
         """Offline (librosa center=True) frame count for an n_samples stream."""
@@ -149,6 +170,7 @@ class StreamingExtractor:
         need = (h + 5 - 1) * hop + p.n_fft  # frames -h .. 4 of the stream
 
         def fn(window):
+            window = _window_to_float(window)
             frames = frame_signal(window[0:1, :need], p.n_fft, hop)
             X = _dft_frames(frames, p.n_fft, win_length)
             xr = jnp.transpose(jnp.real(X)[0, :, p.lower_bin : p.upper_bin])
@@ -168,7 +190,7 @@ class StreamingExtractor:
         self._pending = []
         self._pending_len = 0
         refl = audio[:, 1 : self._pad + 1][:, ::-1]
-        zeros = np.zeros((audio.shape[0], self.halo * self.hop), np.float32)
+        zeros = np.zeros((audio.shape[0], self.halo * self.hop), audio.dtype)
         self._buf = np.concatenate([zeros, refl, audio], axis=-1)
         self._pos = -self.halo * self.hop
         return True
@@ -223,10 +245,21 @@ class StreamingExtractor:
         """Buffer samples without emitting (the bookkeeping half of `push`;
         StreamingSeldPipeline drives emission itself). Shape (n_channels, n)
         for a single stream; (n_streams, n_channels, n) for synchronized
-        multi-stream serving — every stream advances by the same n samples."""
+        multi-stream serving — every stream advances by the same n samples.
+        Samples may be float (already normalized) or int16 PCM — int16 is
+        decoded on-device (window/32768, exact), halving the per-block
+        host->device bytes; a stream must keep one dtype throughout."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
-        samples = np.asarray(samples, dtype=np.float32)
+        samples = np.asarray(samples)
+        if samples.dtype != np.int16:  # int16 PCM streams stay int16 end to
+            samples = samples.astype(np.float32, copy=False)  # end (see
+        if self._in_dtype is None:     # _window_to_float); floats normalize
+            self._in_dtype = samples.dtype
+        elif samples.dtype != self._in_dtype:
+            raise ValueError(
+                f"stream dtype changed mid-stream: started {self._in_dtype}, "
+                f"got {samples.dtype}")
         if self.n_streams == 1:
             if samples.ndim != 2 or samples.shape[0] != self.n_channels:
                 raise ValueError(
@@ -271,8 +304,8 @@ class StreamingExtractor:
             self._pending = []
             w = min(self._pad, audio.shape[1] - 1)
             refl = audio[:, 1 : w + 1][:, ::-1]
-            zeros = np.zeros((audio.shape[0], self.halo * self.hop), np.float32)
-            lead = np.zeros((audio.shape[0], self._pad - w), np.float32)
+            zeros = np.zeros((audio.shape[0], self.halo * self.hop), audio.dtype)
+            lead = np.zeros((audio.shape[0], self._pad - w), audio.dtype)
             self._buf = np.concatenate([zeros, lead, refl, audio], axis=-1)
             self._pos = -self.halo * self.hop
         remaining = total - self._next_frame
@@ -286,7 +319,7 @@ class StreamingExtractor:
         last_start = (self._next_frame + (n_blocks - 1) * L - h) * self.hop
         need = last_start + self._win_len - self._pos
         filler_len = max(0, need - self._buf.shape[1] - tail.shape[1])
-        filler = np.zeros((self._buf.shape[0], filler_len), np.float32)
+        filler = np.zeros((self._buf.shape[0], filler_len), self._buf.dtype)
         self._buf = np.concatenate([self._buf, tail, filler], axis=-1)
         return remaining
 
@@ -388,8 +421,6 @@ class StreamingSeldPipeline:
         pad = np.zeros(self._block_shape, np.float32)
         pad[:, : self._mean.shape[0]] = self._mean  # normalizes to exactly 0
         self._pad_block = jnp.asarray(pad)
-        self._zero_window = jnp.zeros(
-            (N, extractor.n_channels, extractor._win_len), jnp.float32)
         self._step_fn = jax.jit(self._step)
         self.reset(reset_extractor=False)
 
@@ -505,8 +536,12 @@ class StreamingSeldPipeline:
         n_total_blocks = -(-total // L)
         zf = jnp.zeros((ext.n_streams, ext._n_band), jnp.float32)
         zc = jnp.zeros((ext.n_streams, ext._n_band), jnp.int32)
+        # match the stream's sample dtype so the lookahead steps reuse the
+        # already-compiled push-step graph (int16 streams stay one graph)
+        zero_window = jnp.zeros((ext.n_streams, ext.n_channels, ext._win_len),
+                                ext.in_dtype)
         while self._next_k < n_total_blocks:
-            res, _, _ = self._run_step(self._zero_window, zf, zc, valid=0)
+            res, _, _ = self._run_step(zero_window, zf, zc, valid=0)
             if res is not None:
                 results.append(res)
         # trim the final block to the stream's true label-frame count

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--streams", type=int, default=1,
                     help="N synchronized streams in one fused dispatch per "
                          "block; aggregate realtime = N x per-stream rate")
+    ap.add_argument("--int16", action="store_true",
+                    help="push int16 PCM (on-device decode): halves the "
+                         "per-block sample-window upload, the dominant cost "
+                         "on transport-bound links")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +76,8 @@ def main():
                           * t[None, :])).astype(np.float32)[:, None, :]
     if N == 1:
         wave = wave[0]
+    if args.int16:
+        wave = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
 
     push = int(args.push_ms * fs / 1000)
     # warm up compiles (extractor init + block fn + model window), then reset

@@ -165,6 +165,26 @@ def test_streaming_short_stream_flush(rng):
     assert tail.shape[1] == se.total_frames(wave.shape[1])
 
 
+def test_streaming_int16_pcm_exact(rng):
+    """int16 PCM ingestion (on-device decode, streaming.py::_window_to_float)
+    is bit-identical to pushing the host-converted floats — every int16/2**15
+    is exactly representable in float32 — at half the host->device bytes per
+    block. Salsa covers the tracker-init trace's dtype path too."""
+    wave_f = make_wave(rng, seconds=2.5)
+    pcm = np.clip(np.round(wave_f * 32768.0), -32768, 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    kw = dict(fs=FS, n_fft=N_FFT, hop_length=HOP, block_frames=32,
+              fmax_doa=2000.0, eig_method="power")
+    got = stream_all(StreamingExtractor("salsa", "foa", **kw), pcm)
+    want = stream_all(StreamingExtractor("salsa", "foa", **kw), as_float)
+    np.testing.assert_array_equal(got, want)
+
+    se = StreamingExtractor("salsa", "foa", **kw)
+    se.push(pcm[:, :1000])
+    with pytest.raises(ValueError, match="dtype changed"):
+        se.push(as_float[:, :1000])
+
+
 def _tiny_model():
     model = build_model(
         encoder={"name": "PannResNet22", "n_input_channels": 7},
@@ -294,6 +314,47 @@ def test_streaming_pipeline_converges_to_offline(rng):
     # more context -> closer to the offline full-clip predictions
     assert errs[64] < errs[16]
     assert errs[64] < 0.1, errs
+
+
+def test_streaming_pipeline_int16_matches_float(rng):
+    """End-to-end pipeline on an int16 PCM stream equals the float stream
+    exactly, including the flush lookahead steps (whose zero window must reuse
+    the int16-traced step graph, not compile a second one)."""
+    fs, n_fft, hop = 8000, 256, 400
+    n = int(4.3 * fs)
+    wave_f = (0.1 * rng.standard_normal((4, n))).astype(np.float32)
+    pcm = np.clip(np.round(wave_f * 32768.0), -32768, 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+
+    off_extract = make_extractor("salsa_lite", "mic", fs=fs, n_fft=n_fft,
+                                 hop_length=hop, fmax_doa=2000.0, jit=False)
+    feat = np.asarray(off_extract(as_float))
+    mean = feat[:4].mean(axis=1, keepdims=True)
+    std = feat[:4].std(axis=1, keepdims=True) + 1e-6
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 7, 64, feat.shape[2]), jnp.float32),
+                           train=False)
+    interp = 16 * 10 / (fs / hop)
+    kw = dict(fs=fs, n_fft=n_fft, hop_length=hop, block_frames=32,
+              fmax_doa=2000.0)
+
+    def run(w):
+        pipe = StreamingSeldPipeline(
+            StreamingExtractor("salsa_lite", "mic", **kw), model, variables,
+            (mean, std), interp, n_classes=3, left_context=48,
+            right_context=64)
+        outs = []
+        for i in range(0, n, 2500):
+            outs += pipe.push(w[..., i : i + 2500])
+        outs += pipe.flush()
+        return (np.concatenate([o[0] for o in outs], axis=-2),
+                np.concatenate([o[1] for o in outs], axis=-2))
+
+    ev_i, doa_i = run(pcm)
+    ev_f, doa_f = run(as_float)
+    np.testing.assert_array_equal(ev_i, ev_f)
+    np.testing.assert_array_equal(doa_i, doa_f)
 
 
 def test_multistream_extractor_matches_single_streams(rng):
