@@ -52,7 +52,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
             checkpoint_kind: str = "best", batch_size: int = 4,
             streaming: bool = False, block_frames: int = 160,
             context_frames: int = 256, push_ms: float = 100.0,
-            streams: int = 1):
+            streams: int = 1, pcm16: bool = False):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
@@ -96,7 +96,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     if streaming:
         return _predict_streaming(
             cfg, d, model, variables, scaler, interp_ratio, wav_dir, out_dir,
-            wavs, block_frames, context_frames, push_ms, streams)
+            wavs, block_frames, context_frames, push_ms, streams, pcm16)
     pipe = SeldInferencePipeline(
         extractor, model, variables,
         scaler, interp_ratio, d.n_classes, d.get("output_format", "reg_xyz"),
@@ -143,7 +143,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
 
 def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
                        out_dir, wavs, block_frames, context_frames, push_ms,
-                       streams: int = 1):
+                       streams: int = 1, pcm16: bool = False):
     """Simulated-live serving: wavs are fed through the streaming pipeline in
     push_ms packets; predictions accumulate block by block and land in the same
     submission CSVs the batch path writes. With --streams N, N equal-length
@@ -187,6 +187,12 @@ def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
             audio[s], _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
         if N == 1:
             audio = audio[0]
+        if pcm16:
+            # push raw int16 PCM (on-device decode): halves the sample upload.
+            # Exact round-trip when the source wav is 16-bit at the target
+            # rate (the DCASE recordings are); otherwise quantizes to 1/32768.
+            audio = np.clip(np.round(audio * 32768.0), -32768,
+                            32767).astype(np.int16)
         pipe.reset()
         outs, i = [], 0
         while i < n_samples:
@@ -245,10 +251,14 @@ def main():
     p.add_argument("--streams", type=int, default=1,
                    help="streaming: serve N equal-length clips per fused "
                         "dispatch (aggregate throughput ~N x)")
+    p.add_argument("--pcm16", action="store_true",
+                   help="streaming: push raw int16 PCM, decoded on device "
+                        "(half the sample upload; exact for 16-bit sources "
+                        "at the target rate)")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
             a.checkpoint, a.batch_size, a.streaming, a.block_frames,
-            a.context_frames, a.push_ms, a.streams)
+            a.context_frames, a.push_ms, a.streams, a.pcm16)
 
 
 if __name__ == "__main__":

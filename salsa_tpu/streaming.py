@@ -124,6 +124,13 @@ class StreamingExtractor:
         self._init_fn = (jax.jit(jax.vmap(self._make_tracker_init()))
                          if self._tracking else None)
 
+        # device-resident ingestion (see enable_device_ingest)
+        self._dev_enabled = False
+        self._dev_B = 0
+        self._dev_R = 0
+        self._dev_write = None
+        self._dev_slide = None
+
         self.reset()
 
     def reset(self):
@@ -137,6 +144,8 @@ class StreamingExtractor:
         self._samples_seen = 0
         self._flushed = False
         self._in_dtype: np.dtype | None = None
+        self._dev: jax.Array | None = None  # (rows, R) mirror of _buf's head
+        self._dev_len = 0                   # mirrored prefix length of _buf
 
     # -- feature geometry ---------------------------------------------------
 
@@ -156,6 +165,86 @@ class StreamingExtractor:
     def total_frames(self, n_samples: int) -> int:
         """Offline (librosa center=True) frame count for an n_samples stream."""
         return 1 + n_samples // self.hop
+
+    # -- device-resident ingestion -------------------------------------------
+
+    def enable_device_ingest(self, chunk: int | None = None) -> None:
+        """Mirror the live sample buffer on the device, fed bucket by bucket as
+        samples arrive, so the per-block prediction dispatch uploads NOTHING —
+        it slices its window from the mirror on device. Block latency is then
+        pure compute (flat in n_streams), and the raw-sample transport rides
+        the stream's own cadence (a few small async writes per block) instead
+        of bursting a full window at every block boundary. Used by
+        StreamingSeldPipeline; the plain feature-block API keeps the simple
+        host-window dispatch."""
+        block_samples = self.block_frames * self.hop
+        self._dev_B = int(chunk) if chunk else max(2048, block_samples // 4)
+        self._dev_R = self._win_len + 4 * self._dev_B
+        B, R = self._dev_B, self._dev_R
+
+        def write(dev, packet, start, n):
+            cur = jax.lax.dynamic_slice_in_dim(dev, start, B, axis=1)
+            new = jnp.where(jnp.arange(B) < n, packet, cur)
+            return jax.lax.dynamic_update_slice_in_dim(dev, new, start, axis=1)
+
+        self._dev_write = jax.jit(write)
+        self._dev_slide = jax.jit(lambda dev, k: jnp.roll(dev, -k, axis=1))
+        self._dev_enabled = True
+
+    def _dev_sync(self, upto: int) -> None:
+        """Mirror _buf[:, :upto] onto the device (invariant: _dev[:, :_dev_len]
+        == _buf[:, :_dev_len], same start position _pos). Bucket-granular;
+        a trailing partial bucket is only forced when a window needs it."""
+        if self._dev is None:
+            self._dev = jnp.zeros((self._buf.shape[0], self._dev_R),
+                                  self.in_dtype)
+        B = self._dev_B
+        upto = min(upto, self._dev_R - B)
+        while self._dev_len < upto:
+            n = min(B, self._buf.shape[1] - self._dev_len)
+            packet = self._buf[:, self._dev_len : self._dev_len + n]
+            if n < B:
+                packet = np.concatenate(
+                    [packet, np.zeros((packet.shape[0], B - n),
+                                      packet.dtype)], axis=1)
+            self._dev = self._dev_write(self._dev, jnp.asarray(packet),
+                                        jnp.int32(self._dev_len), jnp.int32(n))
+            self._dev_len += n
+
+    def _next_input_dev(self):
+        """Device-mirror variant of `_next_input`: same bookkeeping, but
+        returns (dev, rel_start, floor, countdown) — the window is sliced from
+        the mirror inside the caller's fused dispatch, uploading nothing."""
+        h, hop = self.halo, self.hop
+        start = (self._next_frame - h) * hop
+        rel = start - self._pos
+        if self._buf is None or rel + self._win_len > self._buf.shape[1]:
+            return None
+        self._dev_sync(rel + self._win_len)
+        if self._tracking and self._tracker is None:
+            fl, cd = self._init_fn_dev(self._dev, jnp.int32(rel))
+            self._tracker = (fl, cd)
+        if self._tracker is None:
+            fl = jnp.zeros((self.n_streams, self._n_band), jnp.float32)
+            cd = jnp.zeros((self.n_streams, self._n_band), jnp.int32)
+        else:
+            fl, cd = self._tracker
+        return self._dev, jnp.int32(rel), fl, cd
+
+    def slice_window(self, dev, rel):
+        """Inside-jit: the (n_streams, n_channels, win_len) sample window at
+        mirror offset `rel` (traced scalar)."""
+        w = jax.lax.dynamic_slice_in_dim(dev, rel, self._win_len, axis=1)
+        return w.reshape(self.n_streams, self.n_channels, self._win_len)
+
+    @property
+    def _init_fn_dev(self):
+        fn = getattr(self, "_init_fn_dev_cached", None)
+        if fn is None:
+            init = jax.vmap(self._make_tracker_init())
+            fn = jax.jit(lambda dev, rel: init(self.slice_window(dev, rel)))
+            self._init_fn_dev_cached = fn
+        return fn
 
     # -- internals ----------------------------------------------------------
 
@@ -229,6 +318,9 @@ class StreamingExtractor:
         if drop > 0:
             self._buf = self._buf[:, drop:]
             self._pos = keep_from
+            if self._dev is not None:
+                self._dev = self._dev_slide(self._dev, jnp.int32(drop))
+                self._dev_len = max(0, self._dev_len - drop)
 
     def _emit_ready(self) -> list[np.ndarray]:
         out = []
@@ -278,6 +370,11 @@ class StreamingExtractor:
             self._seed_buffer()
         else:
             self._buf = np.concatenate([self._buf, samples], axis=-1)
+        if self._dev_enabled and self._buf is not None:
+            # eager bucket-granular mirroring: ship samples to the device as
+            # they arrive so block dispatches find their window already there
+            n = self._buf.shape[1]
+            self._dev_sync(n - n % self._dev_B)
 
     def push(self, samples: np.ndarray) -> list[np.ndarray]:
         """Feed (n_channels, n) samples; returns every feature block completed
@@ -350,16 +447,20 @@ class StreamingSeldPipeline:
     predictions as the contexts grow (tests pin the monotone convergence);
     contexts and block size trade latency against boundary accuracy.
 
-    Latency engineering: everything lives on the device. Feature blocks are
-    kept device-resident (a deque of the `nb` blocks the prediction window
-    spans), and extraction + normalization + window assembly + CRNN forward are
-    ONE fused jitted dispatch per block — the host uploads only the raw sample
-    window and fetches only the packed label-rate output (a few KB). Window
-    edges beyond the stream are represented by blocks holding the scaler MEAN
-    (spec channels), which normalization maps to exactly 0 — identical to
-    zero-padding a normalized buffer, without a second padded layout. The same
-    single compiled graph serves push and flush (flush passes valid=0 with a
-    zero sample window, which degenerates the extraction into a pad block).
+    Latency engineering: everything lives on the device. Raw samples are
+    mirrored to the device bucket by bucket AS THEY ARRIVE (async writes riding
+    the stream's own cadence; int16 PCM stays int16 on the wire), feature
+    blocks are kept device-resident (a deque of the `nb` blocks the prediction
+    window spans), and extraction + normalization + window assembly + CRNN
+    forward are ONE fused jitted dispatch per block that slices its sample
+    window from the mirror — at block time the host uploads nothing and
+    fetches only the packed label-rate output (a few KB), so per-block latency
+    is pure compute and stays flat as n_streams grows. Window edges beyond the
+    stream are represented by blocks holding the scaler MEAN (spec channels),
+    which normalization maps to exactly 0 — identical to zero-padding a
+    normalized buffer, without a second padded layout. The same single
+    compiled graph serves push and flush (flush passes valid=0, which
+    degenerates the extraction into a pad block).
 
     Emits (event_prob, doa_xyz) at label rate per completed block, like
     SeldInferencePipeline but incrementally.
@@ -378,6 +479,7 @@ class StreamingSeldPipeline:
                  output_format: str = "reg_xyz",
                  left_context: int = 128, right_context: int | None = None):
         self.extractor = extractor
+        extractor.enable_device_ingest()
         self.model = model
         # commit weights to the device once — checkpoint restores hand back
         # host-numpy leaves, and re-uploading ~46 MB of params per block
@@ -441,15 +543,18 @@ class StreamingSeldPipeline:
 
     # -- the fused per-block dispatch -----------------------------------------
 
-    def _step(self, window, floor, cd, prev_blocks, valid, params, batch_stats):
-        """One streaming step: extract the next feature block of EVERY stream
-        from its sample window (vmapped over the stream axis), mask frames >=
-        valid to the pad value (pre-normalization mean, i.e. normalized zero),
-        and predict the block `d-1` behind it from the assembled context
-        window — the N streams ride the model's batch dimension, so N-stream
-        serving is one dispatch with an N-fold larger matmul batch, not N
-        dispatches. Everything stays on device; the packed label-rate output
-        is the only thing worth fetching."""
+    def _step(self, dev, rel, floor, cd, prev_blocks, valid, params,
+              batch_stats):
+        """One streaming step: slice the block's sample window of EVERY stream
+        from the device-resident mirror (nothing is uploaded at block time),
+        extract its feature block (vmapped over the stream axis), mask frames
+        >= valid to the pad value (pre-normalization mean, i.e. normalized
+        zero), and predict the block `d-1` behind it from the assembled
+        context window — the N streams ride the model's batch dimension, so
+        N-stream serving is one dispatch with an N-fold larger matmul batch,
+        not N dispatches. Everything stays on device; the packed label-rate
+        output is the only thing worth fetching."""
+        window = self.extractor.slice_window(dev, rel)
         feats, fl_out, cd_out = self.extractor._block_fn(window, floor, cd)
         L = self.extractor.block_frames
         idx = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
@@ -478,11 +583,11 @@ class StreamingSeldPipeline:
         packed = jnp.concatenate([event_prob, doa], axis=-1)  # (N, T, 4n)
         return feats, fl_out, cd_out, packed
 
-    def _run_step(self, window, floor, cd, valid: int):
+    def _run_step(self, dev, rel, floor, cd, valid: int):
         """Dispatch one fused step, rotate the device block deque, and return
         the prediction (host arrays) for block self._next_k if it completed."""
         feats, fl_out, cd_out, packed = self._step_fn(
-            window, floor, cd, tuple(self._blocks), jnp.int32(valid),
+            dev, rel, floor, cd, tuple(self._blocks), jnp.int32(valid),
             self.variables["params"], self.variables["batch_stats"])
         self._blocks = self._blocks[1:] + [feats]
         self._m += 1
@@ -501,14 +606,20 @@ class StreamingSeldPipeline:
         self.label_frames_per_block frames (leading stream axis when N>1)
         for each block completed."""
         ext = self.extractor
-        ext.ingest(samples)
         results = []
-        while (inp := ext._next_input()) is not None:
-            res, fl_out, cd_out = self._run_step(
-                *inp, valid=ext.block_frames)
-            ext._commit(fl_out, cd_out)
-            if res is not None:
-                results.append(res)
+        # ingest in <= one-block slices, draining completed blocks between
+        # them, so the device mirror's bounded capacity is never outrun even
+        # by a whole-clip push
+        step = ext.block_frames * ext.hop
+        samples = np.asarray(samples)
+        for j in range(0, samples.shape[-1], step):
+            ext.ingest(samples[..., j : j + step])
+            while (inp := ext._next_input_dev()) is not None:
+                res, fl_out, cd_out = self._run_step(
+                    *inp, valid=ext.block_frames)
+                ext._commit(fl_out, cd_out)
+                if res is not None:
+                    results.append(res)
         return results
 
     @property
@@ -525,23 +636,22 @@ class StreamingSeldPipeline:
         remaining = ext._flush_pad()
         total = self._m * L + remaining
         results = []
-        while (inp := ext._next_input()) is not None:
+        while (inp := ext._next_input_dev()) is not None:
             valid = min(L, max(0, total - self._m * L))
             res, fl_out, cd_out = self._run_step(*inp, valid=valid)
             ext._commit(fl_out, cd_out)
             if res is not None:
                 results.append(res)
         # predict the blocks still inside the lookahead, feeding pad context
-        # (valid=0 turns the step's extraction into a pad block)
+        # (valid=0 turns the step's extraction into a pad block; the mirror's
+        # contents are irrelevant and the tracker outputs are discarded)
         n_total_blocks = -(-total // L)
         zf = jnp.zeros((ext.n_streams, ext._n_band), jnp.float32)
         zc = jnp.zeros((ext.n_streams, ext._n_band), jnp.int32)
-        # match the stream's sample dtype so the lookahead steps reuse the
-        # already-compiled push-step graph (int16 streams stay one graph)
-        zero_window = jnp.zeros((ext.n_streams, ext.n_channels, ext._win_len),
-                                ext.in_dtype)
+        if ext._dev is None and n_total_blocks > self._next_k:
+            ext._dev_sync(0)  # allocate an (all-zero) mirror to slice from
         while self._next_k < n_total_blocks:
-            res, _, _ = self._run_step(zero_window, zf, zc, valid=0)
+            res, _, _ = self._run_step(ext._dev, jnp.int32(0), zf, zc, valid=0)
             if res is not None:
                 results.append(res)
         # trim the final block to the stream's true label-frame count

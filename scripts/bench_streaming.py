@@ -37,6 +37,12 @@ def main():
                     help="push int16 PCM (on-device decode): halves the "
                          "per-block sample-window upload, the dominant cost "
                          "on transport-bound links")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace the feed at real time (packet i arrives at "
+                         "i*push_ms): sample uploads then ride the stream's "
+                         "own cadence and per-block latency measures the pure "
+                         "serving overhead a live deployment adds; also "
+                         "reports push-occupancy (capacity headroom)")
     args = ap.parse_args()
 
     import jax
@@ -88,12 +94,18 @@ def main():
     pipe.reset()
     print("warmed up", flush=True)
 
-    lat, i, n_out = [], 0, 0
+    lat, i, n_out, busy = [], 0, 0, 0.0
     t_start = time.perf_counter()
     while i < n:
+        if args.realtime:  # packet deadline: its last sample has "arrived"
+            due = t_start + (i + push) / fs
+            now = time.perf_counter()
+            if now < due:
+                time.sleep(due - now)
         t0 = time.perf_counter()
         outs = pipe.push(wave[..., i : i + push])
         dt = time.perf_counter() - t0
+        busy += dt
         if outs:
             lat.append(dt)
             n_out += sum(o[0].shape[-2] for o in outs)
@@ -101,6 +113,7 @@ def main():
     t0 = time.perf_counter()
     outs = pipe.flush()
     lat.append(time.perf_counter() - t0)
+    busy += lat[-1]
     n_out += sum(o[0].shape[-2] for o in outs)
     wall = time.perf_counter() - t_start
 
@@ -109,6 +122,10 @@ def main():
     print(f"{N} stream(s) x {args.seconds:.0f}s: {n_out} label frames/stream, "
           f"wall {wall:.2f}s ({args.seconds / wall:.1f}x realtime per stream, "
           f"{N * args.seconds / wall:.1f}x aggregate)")
+    if args.realtime:
+        print(f"realtime feed: push-occupancy {100 * busy / wall:.1f}% "
+              f"(headroom ~{N * wall / max(busy, 1e-9):.0f} streams at this "
+              f"geometry)")
     print(f"per-block compute latency ms: p50 {np.percentile(lat_ms, 50):.1f} "
           f"p95 {np.percentile(lat_ms, 95):.1f} max {lat_ms.max():.1f}")
     print(f"algorithmic lookahead: {algo_ms:.0f} ms "

@@ -396,6 +396,15 @@ def test_from_wav_cli_train_then_infer(tmp_path, rng, mode):
     for alias in ("copyA", "copyB"):
         assert open(os.path.join(out_ms, alias + ".csv")).read() == single_csv
 
+    # --pcm16: int16 PCM pushed raw and decoded on device — exact for these
+    # 16-bit sources at the target rate, so the CSVs are identical
+    out_pcm = predict(cfg_path, wav_dir=serve_dir,
+                      out_dir=os.path.join(root, "preds_pcm16"),
+                      exp_group_dir=os.path.join(root, "out"),
+                      exp_suffix="_fw", streaming=True, pcm16=True,
+                      block_frames=80, context_frames=320)
+    assert open(os.path.join(out_pcm, names[-1] + ".csv")).read() == single_csv
+
 
 @pytest.mark.slow
 def test_from_wav_sharded_matches_replicated(tmp_path, rng):
