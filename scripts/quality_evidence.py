@@ -175,6 +175,34 @@ def main():
     }
     print(json.dumps({"ensemble_row": results["ensemble"]}), flush=True)
 
+    # ---- ensemble of TTA'd members (the reference 2nd-place's full recipe:
+    # per-member TTA, then output-space fusion; README.md:46-47,74-77) ----
+    tta_pred_dirs = []
+    for m in range(args.members):
+        exp_path = write_exp(100 + m)
+        suffix = f"_m{m}"
+        exp_dir = os.path.join(out_root, "crossval", "foa", "salsa",
+                               f"exp{suffix}")
+        inference(exp_path, exp_group_dir=out_root, exp_suffix=suffix,
+                  splits=["val"], use_tta=True)
+        keep = os.path.join(root, f"tta_dumps_m{m}")
+        shutil.rmtree(keep, ignore_errors=True)
+        shutil.copytree(os.path.join(exp_dir, "outputs", "predictions", "val"),
+                        keep)
+        tta_pred_dirs.append(keep)
+        # restore plain dumps so reruns of the plain-ensemble stage stay valid
+        inference(exp_path, exp_group_dir=out_root, exp_suffix=suffix,
+                  splits=["val"])
+    fused_tta_dir = os.path.join(root, "fused_tta")
+    shutil.rmtree(fused_tta_dir, ignore_errors=True)
+    ens_tta = ensemble(tta_pred_dirs, fused_tta_dir, n_classes=N_CLASSES,
+                       gt_meta_dir=os.path.join(data_dir, "metadata_dev"))
+    results["ensemble_tta"] = {
+        "fused_plain": ens["seld_error"], "fused_tta": ens_tta["seld_error"],
+        "scores": ens_tta,
+    }
+    print(json.dumps({"ensemble_tta_row": results["ensemble_tta"]}), flush=True)
+
     # ---- SWA over member 0's tail checkpoints ----
     from salsa_tpu.train.ensemble import average_checkpoint_files
 
