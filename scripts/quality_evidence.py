@@ -10,11 +10,17 @@ this script measures it on the synthetic-sanity problem:
   2. train N members (identical config, different seeds);
   3. score each member's val split with and without --tta (batched TTA);
   4. fuse the members' prediction dumps (output-space ensemble) and score;
-  5. SWA-average the tail checkpoints of member 1 and score.
+  5. SWA-average the tail checkpoints of member 1 and score;
+  6. sweep sed_threshold over the fused dumps (host-only re-scoring): fusing
+     probabilities — twice, for ensemble-of-TTA — flattens SED peaks, so the
+     fixed single-model threshold (0.3, reference seld.yml) is no longer the
+     operating point; the sweep measures each fusion mode at its tuned
+     threshold, the knob a challenge entry would actually re-tune on val.
 
 Prints one JSON line per measurement plus a summary table for BENCH.md.
 
 Run solo on the TPU:  python scripts/quality_evidence.py [--epochs 48 --clips 48]
+Re-score existing dumps only (no device work):  ... --sweep-only
 """
 from __future__ import annotations
 
@@ -42,7 +48,15 @@ def main():
     ap.add_argument("--swa-tail", type=int, default=8)
     ap.add_argument("--workdir", default="/tmp/salsa_tpu_quality")
     ap.add_argument("--data-seed", type=int, default=11)
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="skip training/inference and re-run only the "
+                         "sed-threshold sweep over dumps a previous run left "
+                         "in --workdir (pure host-side scoring)")
     args = ap.parse_args()
+
+    if args.sweep_only:
+        run_threshold_sweep(args.workdir, args.members)
+        return
 
     import jax
     import yaml
@@ -222,7 +236,58 @@ def main():
                       "swa": r_swa["val"]}
     print(json.dumps({"swa_row": results["swa"]}), flush=True)
 
+    results["threshold_sweep"] = run_threshold_sweep(root, args.members)
     print(json.dumps({"quality_evidence": results}))
+
+
+def run_threshold_sweep(root: str, n_members: int) -> dict:
+    """Stage 6: score each fusion mode across sed_threshold (host-only).
+
+    Uses the dumps the earlier stages wrote under `root`; fusing SED
+    probabilities lowers their peaks (mean of several [0,1] curves), so each
+    mode's operating threshold must be re-tuned — exactly what a challenge
+    entry does on its val split before submitting.
+    """
+    import shutil
+
+    from salsa_tpu.cli.ensemble import ensemble
+
+    data_dir = os.path.join(root, "task3")
+    out_root = os.path.join(root, "outputs")
+    gt_meta = os.path.join(data_dir, "metadata_dev")
+    plain_dirs = [os.path.join(out_root, "crossval", "foa", "salsa",
+                               f"exp_m{m}", "outputs", "predictions", "val")
+                  for m in range(n_members)]
+    tta_dirs = [os.path.join(root, f"tta_dumps_m{m}") for m in range(n_members)]
+    modes = {"member0_plain": plain_dirs[:1],
+             "fused_plain": plain_dirs,
+             "fused_tta": tta_dirs}
+    for name, dirs in modes.items():
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"{name}: missing prediction dumps {missing} — run the full "
+                "study first (without --sweep-only)")
+    thresholds = [round(0.05 * k, 2) for k in range(2, 13)]  # 0.10 .. 0.60
+    sweep: dict = {}
+    for name, dirs in modes.items():
+        rows = []
+        for t in thresholds:
+            out_dir = os.path.join(root, "sweep", name, f"t{t:.2f}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            s = ensemble(dirs, out_dir, n_classes=N_CLASSES, sed_threshold=t,
+                         gt_meta_dir=gt_meta)
+            rows.append({"threshold": t, "seld": round(s["seld_error"], 4),
+                         "ER": round(s["ER"], 4), "F1": round(s["F1"], 4),
+                         "LE": round(s["LE"], 2), "LR": round(s["LR"], 4)})
+        best = min(rows, key=lambda r: r["seld"])
+        at_default = next(r for r in rows if abs(r["threshold"] - 0.3) < 1e-9)
+        sweep[name] = {"best": best, "at_0.30": at_default, "rows": rows}
+        print(json.dumps({"sweep_row": {name: sweep[name]["best"]}}), flush=True)
+    print(json.dumps({"threshold_sweep": {
+        n: {"best": v["best"], "at_0.30": v["at_0.30"]}
+        for n, v in sweep.items()}}), flush=True)
+    return sweep
 
 
 if __name__ == "__main__":

@@ -89,6 +89,31 @@ def main():
                       "shapes": [list(ev.shape), list(dd.shape)]}))
     failures += not ok
 
+    # 4. streaming serving on hardware: device-ingest mirror, int16 PCM on the
+    # wire, two identical streams in one fused dispatch — streams must agree
+    # exactly, and the streamed predictions must track the offline pipeline
+    from salsa_tpu.streaming import StreamingExtractor, StreamingSeldPipeline
+
+    se = StreamingExtractor("salsa", "foa", fs=fs, n_fft=512, hop_length=300,
+                            block_frames=160, eig_method="pallas", n_streams=2)
+    spipe = StreamingSeldPipeline(se, model, variables, (mean, std), 2.0, 12,
+                                  left_context=256, right_context=256)
+    pcm = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
+    feed = np.stack([pcm, pcm])
+    outs, push = [], 2400
+    for i in range(0, n, push):
+        outs += spipe.push(feed[..., i : i + push])
+    outs += spipe.flush()
+    ev_s = np.concatenate([o[0] for o in outs], axis=-2)
+    streams_equal = bool(np.array_equal(ev_s[0], ev_s[1]))
+    vs_offline = float(np.abs(ev_s[0] - np.asarray(ev)).max())
+    ok = (ev_s.shape == (2, 600, 12) and bool(np.isfinite(ev_s).all())
+          and streams_equal and vs_offline < 0.3)
+    print(json.dumps({"check": "streaming_device_ingest", "ok": bool(ok),
+                      "streams_equal": streams_equal,
+                      "max_dev_vs_offline": round(vs_offline, 4)}))
+    failures += not ok
+
     sys.exit(1 if failures else 0)
 
 
