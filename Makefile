@@ -39,6 +39,11 @@ TORCH_CKPT=/path/to/reference.ckpt
 import-ckpt:
 	python -m salsa_tpu.cli.import_ckpt --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --torch-ckpt $(TORCH_CKPT)
 
+.PHONY: export-ckpt
+EXPORT_CKPT=./exported.ckpt
+export-ckpt:
+	python -m salsa_tpu.cli.export_ckpt --exp-config $(CONFIG) --exp-group-dir $(OUTPUT) --exp-suffix $(EXP_SUFFIX) --out $(EXPORT_CKPT)
+
 .PHONY: ensemble
 PRED_DIRS=
 ENSEMBLE_OUT=./outputs/ensemble_submissions
