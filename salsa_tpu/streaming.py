@@ -135,6 +135,7 @@ class StreamingExtractor:
 
     def reset(self):
         """Clear stream state for a new stream (compiled block fns are kept)."""
+        self._reinit: dict[int, list[int]] = {}  # frame -> slots to re-init
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
         self._buf: np.ndarray | None = None  # (C, n) from padded sample _pos
@@ -165,6 +166,62 @@ class StreamingExtractor:
     def total_frames(self, n_samples: int) -> int:
         """Offline (librosa center=True) frame count for an n_samples stream."""
         return 1 + n_samples // self.hop
+
+    # -- dynamic slot attachment (stream_pool.py) ------------------------------
+
+    def write_slot_seed(self, slot: int, first_samples: np.ndarray,
+                        boundary_frame: int) -> None:
+        """Retroactively lay down a joining stream's start prefix — `halo`
+        frames of pre-stream zeros plus the librosa-style reflect pad — into
+        ONE slot's rows of the shared sample buffer, so that from
+        `boundary_frame` onward the slot's padded timeline is exactly what a
+        solo stream's would be. The caller must align the slot's feed so its
+        sample 0 is the pool's global sample `boundary_frame * hop`, and pass
+        the stream's first `required_pad + 1` samples (the reflect source).
+        The prefix lands on global samples already ingested (as the joining
+        slot's pre-attach zeros), hence the retro-write; the device mirror is
+        rewound past the touched region so the next sync re-ships it."""
+        C = self.n_channels
+        first = np.asarray(first_samples)
+        if first.dtype != self.in_dtype:
+            raise ValueError(f"seed dtype {first.dtype} != stream dtype "
+                             f"{self.in_dtype}")
+        if first.shape[0] != C or first.shape[1] < self._pad + 1:
+            raise ValueError(f"need ({C}, >={self._pad + 1}) seed samples, "
+                             f"got {first.shape}")
+        refl = first[:, 1 : self._pad + 1][:, ::-1]
+        i0 = (boundary_frame - self.halo) * self.hop - self._pos
+        i1 = boundary_frame * self.hop - self._pos
+        if self._buf is None or i0 < 0 or i1 + self._pad > self._buf.shape[1]:
+            raise RuntimeError(
+                f"slot seed region [{i0}, {i1 + self._pad}) not resident "
+                "(attach must happen exactly at the ingest boundary)")
+        rows = slice(slot * C, (slot + 1) * C)
+        self._buf[rows, i0:i1] = 0
+        self._buf[rows, i1 : i1 + self._pad] = refl
+        if self._dev is not None and self._dev_len > i0:
+            self._dev_len = max(0, i0) // self._dev_B * self._dev_B
+
+    def schedule_tracker_reinit(self, slot: int, frame: int) -> None:
+        """Arrange for `slot`'s noise-tracker row to be re-initialized from
+        the block window starting at feature frame `frame` (a block boundary)
+        — the same init a solo stream computes from its first window
+        (tracker_init_state on frames -halo..4). No-op feature types without
+        tracking."""
+        if self._tracking:
+            self._reinit.setdefault(frame, []).append(slot)
+
+    def _apply_reinit(self, fl, cd, init_pair):
+        """Scatter freshly-computed init rows into the tracker state for the
+        slots scheduled at the current block start."""
+        slots = self._reinit.pop(self._next_frame, None)
+        if not slots:
+            return fl, cd
+        fl_i, cd_i = init_pair()
+        sel = np.zeros((self.n_streams, 1), bool)
+        sel[slots] = True
+        sel = jnp.asarray(sel)
+        return jnp.where(sel, fl_i, fl), jnp.where(sel, cd_i, cd)
 
     # -- device-resident ingestion -------------------------------------------
 
@@ -229,6 +286,9 @@ class StreamingExtractor:
             cd = jnp.zeros((self.n_streams, self._n_band), jnp.int32)
         else:
             fl, cd = self._tracker
+        if self._reinit:
+            fl, cd = self._apply_reinit(
+                fl, cd, lambda: self._init_fn_dev(self._dev, jnp.int32(rel)))
         return self._dev, jnp.int32(rel), fl, cd
 
     def slice_window(self, dev, rel):
@@ -305,6 +365,8 @@ class StreamingExtractor:
             cd = jnp.zeros((self.n_streams, self._n_band), jnp.int32)
         else:
             fl, cd = self._tracker
+        if self._reinit:
+            fl, cd = self._apply_reinit(fl, cd, lambda: self._init_fn(window))
         return window, fl, cd
 
     def _commit(self, floor_out, countdown_out):
@@ -523,6 +585,7 @@ class StreamingSeldPipeline:
         pad = np.zeros(self._block_shape, np.float32)
         pad[:, : self._mean.shape[0]] = self._mean  # normalizes to exactly 0
         self._pad_block = jnp.asarray(pad)
+        self._zero_n = jnp.zeros((N,), jnp.int32)
         self._step_fn = jax.jit(self._step)
         self.reset(reset_extractor=False)
 
@@ -543,22 +606,28 @@ class StreamingSeldPipeline:
 
     # -- the fused per-block dispatch -----------------------------------------
 
-    def _step(self, dev, rel, floor, cd, prev_blocks, valid, params,
+    def _step(self, dev, rel, floor, cd, prev_blocks, lo, hi, params,
               batch_stats):
         """One streaming step: slice the block's sample window of EVERY stream
         from the device-resident mirror (nothing is uploaded at block time),
         extract its feature block (vmapped over the stream axis), mask frames
-        >= valid to the pad value (pre-normalization mean, i.e. normalized
-        zero), and predict the block `d-1` behind it from the assembled
-        context window — the N streams ride the model's batch dimension, so
-        N-stream serving is one dispatch with an N-fold larger matmul batch,
-        not N dispatches. Everything stays on device; the packed label-rate
-        output is the only thing worth fetching."""
+        outside the per-stream validity range [lo, hi) to the pad value
+        (pre-normalization mean, i.e. normalized zero), and predict the block
+        `d-1` behind it from the assembled context window — the N streams ride
+        the model's batch dimension, so N-stream serving is one dispatch with
+        an N-fold larger matmul batch, not N dispatches. The (N,) lo/hi
+        vectors let each stream have its own validity window, which is what
+        makes dynamic attach/detach (stream_pool.py) ride the same compiled
+        graph: a block before a slot's stream starts (or after it ends) is
+        simply all-pad for that slot. Everything stays on device; the packed
+        label-rate output is the only thing worth fetching."""
         window = self.extractor.slice_window(dev, rel)
         feats, fl_out, cd_out = self.extractor._block_fn(window, floor, cd)
         L = self.extractor.block_frames
         idx = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
-        feats = jnp.where(idx < valid, feats, self._pad_block)
+        live = ((idx >= lo[:, None, None, None])
+                & (idx < hi[:, None, None, None]))
+        feats = jnp.where(live, feats, self._pad_block)
         stacked = jnp.concatenate(prev_blocks + (feats,), axis=2)
         featw = jax.lax.slice_in_dim(stacked, self._off, self._off + self._W,
                                      axis=2)
@@ -583,11 +652,19 @@ class StreamingSeldPipeline:
         packed = jnp.concatenate([event_prob, doa], axis=-1)  # (N, T, 4n)
         return feats, fl_out, cd_out, packed
 
-    def _run_step(self, dev, rel, floor, cd, valid: int):
+    def _run_step(self, dev, rel, floor, cd, valid: int | None = None,
+                  lo=None, hi=None):
         """Dispatch one fused step, rotate the device block deque, and return
-        the prediction (host arrays) for block self._next_k if it completed."""
+        the prediction (host arrays) for block self._next_k if it completed.
+        `valid` is the shared-scalar form (frames [0, valid) live for every
+        stream); lo/hi are the per-stream (N,) form stream_pool.py uses."""
+        if lo is None:
+            lo = self._zero_n
+        if hi is None:
+            hi = jnp.full((self.n_streams,), valid, jnp.int32)
         feats, fl_out, cd_out, packed = self._step_fn(
-            dev, rel, floor, cd, tuple(self._blocks), jnp.int32(valid),
+            dev, rel, floor, cd, tuple(self._blocks), jnp.asarray(
+                lo, jnp.int32), jnp.asarray(hi, jnp.int32),
             self.variables["params"], self.variables["batch_stats"])
         self._blocks = self._blocks[1:] + [feats]
         self._m += 1

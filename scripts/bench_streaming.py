@@ -37,6 +37,12 @@ def main():
                     help="push int16 PCM (on-device decode): halves the "
                          "per-block sample-window upload, the dominant cost "
                          "on transport-bound links")
+    ap.add_argument("--pool", action="store_true",
+                    help="dynamic-pool mode (stream_pool.py): N streams "
+                         "attach staggered one block apart and detach as "
+                         "their audio ends — measures the serving-pool "
+                         "latency incl. the attach cost (slot seed write + "
+                         "tracker re-init)")
     ap.add_argument("--realtime", action="store_true",
                     help="pace the feed at real time (packet i arrives at "
                          "i*push_ms): sample uploads then ride the stream's "
@@ -86,6 +92,51 @@ def main():
         wave = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
 
     push = int(args.push_ms * fs / 1000)
+
+    if args.pool:
+        from salsa_tpu.stream_pool import SeldStreamPool
+
+        pwave = wave if wave.ndim == 3 else wave[None]
+        stagger = max(1, int(round(args.block * hop / push)))
+
+        def drive(limit):
+            pipe.reset()
+            pool = SeldStreamPool(pipe)
+            handles, pos = [None] * N, [0] * N
+            done, lat, r = [False] * N, [], 0
+            while not all(done):
+                t0 = time.perf_counter()
+                for s in range(N):
+                    if handles[s] is None and r >= s * stagger:
+                        handles[s] = pool.attach()
+                    if handles[s] is None or done[s]:
+                        continue
+                    seg = pwave[s][..., pos[s] : pos[s] + push]
+                    if seg.shape[-1]:
+                        pool.push(handles[s], seg)
+                        pos[s] += push
+                    if pos[s] >= limit:
+                        pool.detach(handles[s])
+                        done[s] = True
+                lat.append(time.perf_counter() - t0)
+                r += 1
+            return np.array(lat)
+
+        warm_len = min(n, (N * stagger + 6) * push
+                       + (args.block + 2 * args.context) * hop)
+        drive(warm_len)  # compile every graph incl. the attach re-init path
+        print("warmed up", flush=True)
+        t_start = time.perf_counter()
+        lat_ms = drive(n) * 1e3
+        wall = time.perf_counter() - t_start
+        print(f"pool: {N} slots, attach staggered {stagger} pushes apart, "
+              f"{args.seconds:.0f}s each: wall {wall:.2f}s "
+              f"({N * args.seconds / wall:.1f}x aggregate realtime)")
+        print(f"per-round latency ms (all live streams, one fused dispatch "
+              f"per block): p50 {np.percentile(lat_ms, 50):.1f} "
+              f"p95 {np.percentile(lat_ms, 95):.1f} max {lat_ms.max():.1f}")
+        return
+
     # warm up compiles (extractor init + block fn + model window), then reset
     i = 0
     while i < 4 * push + (args.block + 2 * args.context) * hop:
