@@ -52,7 +52,7 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
             checkpoint_kind: str = "best", batch_size: int = 4,
             streaming: bool = False, block_frames: int = 160,
             context_frames: int = 256, push_ms: float = 100.0,
-            streams: int = 1, pcm16: bool = False):
+            streams: int = 1, pcm16: bool = False, pool: bool = False):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
@@ -94,7 +94,8 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     interp_ratio = model.time_downsample_ratio * d.label_rate / (d.fs / d.hop_len)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if streaming:
-        return _predict_streaming(
+        fn = _predict_streaming_pool if pool else _predict_streaming
+        return fn(
             cfg, d, model, variables, scaler, interp_ratio, wav_dir, out_dir,
             wavs, block_frames, context_frames, push_ms, streams, pcm16)
     pipe = SeldInferencePipeline(
@@ -230,6 +231,103 @@ def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
     return out_dir
 
 
+def _predict_streaming_pool(cfg, d, model, variables, scaler, interp_ratio,
+                            wav_dir, out_dir, wavs, block_frames,
+                            context_frames, push_ms, streams: int = 1,
+                            pcm16: bool = False):
+    """Unsynchronized-live serving through the dynamic stream pool
+    (`stream_pool.py`): every wav is an independent live stream that attaches
+    to a free slot, streams in push_ms packets at its own length, and detaches
+    at its own end — mixed durations welcome, no equal-length grouping, no
+    silent padding streams (what `--streams` without `--pool` needs). All live
+    slots ride ONE fused dispatch per pool block, and each clip's predictions
+    equal a dedicated solo streaming run (the pool's test-pinned contract),
+    so the CSVs match the lockstep path's on the same clips."""
+    from salsa_tpu.stream_pool import SeldStreamPool
+    from salsa_tpu.streaming import StreamingExtractor, StreamingSeldPipeline
+
+    os.makedirs(out_dir, exist_ok=True)
+    push = max(1, int(push_ms * d.fs / 1000))
+    N = max(1, int(streams))
+    se = StreamingExtractor(
+        cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
+        hop_length=d.hop_len, block_frames=block_frames,
+        n_mels=d.get("n_mels", 128), n_streams=N,
+        **({"fmax_doa": d.fmax_doa} if d.get("fmax_doa") else {}))
+    pipe = StreamingSeldPipeline(
+        se, model, variables, scaler, interp_ratio, d.n_classes,
+        d.get("output_format", "reg_xyz"),
+        left_context=context_frames, right_context=context_frames)
+    pool = SeldStreamPool(pipe)
+
+    def _read(name):
+        a, _ = read_wav(os.path.join(wav_dir, name), target_fs=d.fs)
+        if pcm16:
+            a = np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int16)
+        return a
+
+    def _write(s):
+        if not s["outs"]:
+            logger.warning("%s: too short to go live; no predictions",
+                           s["name"])
+            return
+        ev = np.concatenate([o[0] for o in s["outs"]], axis=0)
+        doa = np.concatenate([o[1] for o in s["outs"]], axis=0)
+        write_classwise_csv(
+            os.path.join(out_dir, s["name"][:-4] + ".csv"), ev, doa,
+            d.n_classes, sed_threshold=cfg.get("sed_threshold", 0.3),
+            max_frames=ev.shape[0],
+            version=str(cfg.get("eval_version", "2021")))
+
+    todo = list(wavs)
+    active: dict[int, dict] = {}
+    lat, audio_seconds, done = [], 0.0, 0
+    t_all = time.time()
+    while todo or active:
+        # fill freed slots with the next files (slots free as a detached
+        # stream's final block emits, so attach() can say "full" mid-drain)
+        while todo:
+            h = pool.attach()
+            if h is None:
+                break
+            audio = _read(todo[0])
+            audio_seconds += audio.shape[1] / d.fs
+            active[h] = {"name": todo.pop(0), "audio": audio, "pos": 0,
+                         "outs": [], "ended": False}
+        for h, s in list(active.items()):
+            if not s["ended"]:
+                t0 = time.time()
+                got = pool.push(h, s["audio"][:, s["pos"] : s["pos"] + push])
+                if got:
+                    lat.append(time.time() - t0)
+                s["outs"] += got
+                s["pos"] += push
+                if s["pos"] >= s["audio"].shape[1]:
+                    s["outs"] += pool.detach(h)
+                    s["ended"] = True
+                    s["audio"] = None  # free the samples; only outs remain
+            else:
+                # draining: the remaining blocks complete as the other live
+                # streams advance the shared pool clock
+                s["outs"] += pool.poll(h)
+            if s["ended"] and pool.finished(h):
+                _write(s)
+                del active[h]
+                done += 1
+                logger.info("%d/%d streamed", done, len(wavs))
+    dt = time.time() - t_all
+    lat_ms = 1e3 * np.array(lat) if lat else np.zeros(1)
+    algo_ms = (block_frames + context_frames + se.latency_frames) \
+        * d.hop_len / d.fs * 1e3
+    logger.info(
+        "pool-streamed %.0f audio-s in %.1f s (%.0fx realtime aggregate, "
+        "%d slot(s)); per-block compute latency p50 %.0f / p95 %.0f ms on "
+        "top of the algorithmic %.0f ms lookahead",
+        audio_seconds, dt, audio_seconds / max(dt, 1e-9), N,
+        np.percentile(lat_ms, 50), np.percentile(lat_ms, 95), algo_ms)
+    return out_dir
+
+
 @cli_entry
 def main():
     p = argparse.ArgumentParser()
@@ -255,10 +353,15 @@ def main():
                    help="streaming: push raw int16 PCM, decoded on device "
                         "(half the sample upload; exact for 16-bit sources "
                         "at the target rate)")
+    p.add_argument("--pool", action="store_true",
+                   help="streaming: serve clips as UNSYNCHRONIZED live "
+                        "streams through the dynamic slot pool (--streams "
+                        "slots) — mixed durations attach/detach mid-flight, "
+                        "no equal-length grouping")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
             a.checkpoint, a.batch_size, a.streaming, a.block_frames,
-            a.context_frames, a.push_ms, a.streams, a.pcm16)
+            a.context_frames, a.push_ms, a.streams, a.pcm16, a.pool)
 
 
 if __name__ == "__main__":

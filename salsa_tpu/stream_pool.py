@@ -170,6 +170,18 @@ class SeldStreamPool:
         self._drain()
         return self.poll(handle)
 
+    def finished(self, handle: int) -> bool:
+        """True once a detached stream's every prediction has been collected
+        (poll() forgets the handle at that point); unknown handles are
+        finished by definition, so callers can loop `until finished`."""
+        s = self._streams.get(handle)
+        if s is None:
+            return True
+        if s.state == "done" and not s.out:
+            del self._streams[handle]  # same forget-once-drained as poll()
+            return True
+        return False
+
     @property
     def n_live(self) -> int:
         return sum(s.state in ("live", "draining")

@@ -186,6 +186,74 @@ def test_predict_cli_mixed_durations(workspace, tmp_path):
 
 
 @pytest.mark.slow
+def test_predict_cli_streaming_pool(workspace, tmp_path):
+    """`predict --streaming --pool`: a mixed-duration wav dir served as
+    UNSYNCHRONIZED live streams over the dynamic slot pool (stream_pool.py) —
+    3 clips through 2 slots, so the third attaches mid-flight to whichever
+    slot frees first and the short clip detaches while its partner plays on.
+    Every clip's CSV must match its dedicated solo streaming run (the pool's
+    library-level contract, here pinned through the CLI): same (frame, class)
+    rows, DOA within the 1-degree CSV quantum (capacity-2 batch numerics vs
+    the solo pipeline differ at ~1e-5)."""
+    tmp, data_cfg, meta, data_dir = workspace
+    exp_cfg_path = str(tmp / "exp.yml")
+    if not os.path.exists(exp_cfg_path):
+        pytest.skip("train test did not run first")
+    from salsa_tpu.cli.predict import predict
+
+    cfg = yaml.safe_load((tmp / "exp.yml").read_text())
+    cfg["sed_threshold"] = 0.0  # every frame lands in the CSV (non-vacuous)
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    (cfg_dir / "exp.yml").write_text(yaml.safe_dump(cfg))
+
+    rng = np.random.default_rng(13)
+    mixed = tmp_path / "pool_wavs"
+    mixed.mkdir()
+    lengths = {"long_a": 6.4, "short_b": 4.0, "long_c": 6.4}
+    for name, secs in lengths.items():
+        n = int(secs * FS)
+        t = np.arange(n) / FS
+        w = (0.02 * rng.standard_normal((4, n))
+             + 0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        write_wav(str(mixed / f"{name}.wav"), w, FS, bits=16)
+
+    kw = dict(exp_group_dir=str(tmp / "outputs"), exp_suffix="_x",
+              streaming=True, block_frames=32, context_frames=64)
+    out = predict(str(cfg_dir / "exp.yml"), wav_dir=str(mixed),
+                  out_dir=str(tmp_path / "preds_pool"), streams=2, pool=True,
+                  **kw)
+
+    def rows(csv_path):
+        got = {}
+        for line in open(csv_path).read().splitlines():
+            if line.strip():
+                f, c, _, a, e = line.split(",")
+                got[(int(f), int(c))] = (int(a), int(e))
+        return got
+
+    label_rate = 10
+    for name, secs in lengths.items():
+        solo_dir = tmp_path / f"solo_{name}"
+        solo_dir.mkdir()
+        os.symlink(mixed / f"{name}.wav", solo_dir / f"{name}.wav")
+        solo_out = predict(str(cfg_dir / "exp.yml"), wav_dir=str(solo_dir),
+                           out_dir=str(tmp_path / f"solo_preds_{name}"),
+                           streams=1, **kw)
+        got = rows(os.path.join(out, name + ".csv"))
+        want = rows(os.path.join(solo_out, name + ".csv"))
+        assert got.keys() == want.keys(), name
+        # per-clip frame counts survive the pool (no tail truncation/overrun)
+        n_frames = 1 + max(f for f, _ in got)
+        assert abs(n_frames - secs * label_rate) <= 16, (name, n_frames)
+        for key in got:
+            ga, ge = got[key]
+            wa, we = want[key]
+            da = min(abs(ga - wa), 360 - abs(ga - wa))  # azimuth wraps
+            assert da <= 1 and abs(ge - we) <= 1, (name, key, got[key], want[key])
+
+
+@pytest.mark.slow
 def test_eval_mode_cli(workspace, tmp_path):
     """mode='eval' (reference train.py:93-94): train on the full dev split for
     training.best_epoch epochs, then infer on the unlabeled eval split — submission
