@@ -29,14 +29,50 @@ from salsa_tpu.utils.experiments import configure_logging, logger
 def ensemble(pred_dirs, out_dir: str, weights=None, n_classes: int = 12,
              sed_threshold: float = 0.3, version: str = "2021",
              gt_meta_dir: str | None = None, doa_threshold: float = 20.0,
-             label_rate: int = 10, max_frames: int = 600) -> dict:
+             label_rate: int = 10, max_frames: int = 600,
+             tune_threshold: bool = False) -> dict:
     fused = ensemble_predictions(list(pred_dirs), weights)
+    sweep = None
+    if tune_threshold:
+        # fusion flattens SED peaks (mean of several [0,1] curves), so the
+        # single-model operating point is wrong for the fused dumps — re-tune
+        # on the labeled split before writing the final submission
+        if gt_meta_dir is None:
+            raise ValueError("--tune-threshold needs --gt-meta-dir (the "
+                             "labeled split to calibrate on)")
+        from salsa_tpu.train.threshold import sweep_fused
+
+        sweep = sweep_fused(fused, gt_meta_dir, n_classes, version=version,
+                            doa_threshold=doa_threshold,
+                            label_rate=label_rate, max_frames=max_frames)
+        at_fixed = next((r for r in sweep["rows"]
+                         if abs(r["threshold"] - sed_threshold) < 1e-9), None)
+        logger.info("tuned sed_threshold %.2f (SELD %.4f vs %.4f at the "
+                    "fixed %.2f)", sweep["best"]["threshold"],
+                    sweep["best"]["seld"],
+                    at_fixed["seld"] if at_fixed else float("nan"),
+                    sed_threshold)
+        sed_threshold = sweep["best"]["threshold"]
     written = write_ensemble(fused, out_dir, n_classes,
                              sed_threshold=sed_threshold, version=version)
     logger.info("ensemble of %d members: wrote %d submissions to %s",
                 len(pred_dirs), len(written), out_dir)
     if gt_meta_dir is None:
         return {}
+    if sweep is not None:
+        from salsa_tpu.metrics.scorer import evaluate_submissions
+
+        max_frames = max(max_frames, *(ep.shape[0] for ep, _ in fused.values()))
+        scores = dict(evaluate_submissions(
+            out_dir, gt_meta_dir, version=version, n_classes=n_classes,
+            doa_threshold=doa_threshold, label_rate=label_rate,
+            max_frames=max_frames, filenames=written))
+        scores["tuned_threshold"] = sed_threshold
+        scores["threshold_sweep"] = sweep
+        logger.info("ensemble (tuned) SELD %.4f ER %.4f F1 %.4f LE %.2f "
+                    "LR %.4f", scores["seld_error"], scores["ER"],
+                    scores["F1"], scores["LE"], scores["LR"])
+        return scores
     from salsa_tpu.metrics.scorer import evaluate_submissions
 
     # never score on FEWER frames than the infer/evaluate default (600): dumps
@@ -81,6 +117,11 @@ def main():
                    help="minimum per-clip frame horizon for scoring (matches "
                         "evaluate_submissions' default; raised automatically to "
                         "the longest dump)")
+    p.add_argument("--tune-threshold", action="store_true",
+                   help="calibrate sed_threshold on the fused dumps against "
+                        "--gt-meta-dir before writing the submission (fusion "
+                        "flattens SED peaks; each fusion mode has its own "
+                        "operating point)")
     a = p.parse_args()
     configure_logging()
     if a.ckpts is not None:
@@ -97,7 +138,7 @@ def main():
         raise ValueError("need --pred-dirs and --out-dir (or --ckpts/--out-ckpt)")
     ensemble(a.pred_dirs, a.out_dir, a.weights, a.n_classes, a.sed_threshold,
              a.version, a.gt_meta_dir, a.doa_threshold, a.label_rate,
-             a.max_frames)
+             a.max_frames, tune_threshold=a.tune_threshold)
 
 
 if __name__ == "__main__":

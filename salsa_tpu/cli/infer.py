@@ -21,8 +21,24 @@ from salsa_tpu.cli._errors import cli_entry
 
 def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str = "",
               splits=("val", "test"), checkpoint_kind: str = "best",
-              use_tta: bool = False):
+              use_tta: bool = False, tune_threshold: bool = False,
+              use_tuned_threshold: bool = False):
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
+    tuned: float | None = None
+    if tune_threshold:
+        # calibrate on val FIRST, then apply the tuned operating point to the
+        # remaining splits (the challenge-entry workflow: re-tune on val
+        # before scoring/submitting test)
+        splits = ["val"] + [s for s in splits if s != "val"]
+    elif use_tuned_threshold:
+        from salsa_tpu.train.threshold import load_tuned_threshold
+
+        tuned = load_tuned_threshold(cfg.dir.model.best)
+        if tuned is None:
+            raise FileNotFoundError(
+                "--use-tuned-threshold: no tuned_threshold.json beside the "
+                "checkpoints — run `salsa-infer --tune-threshold` first")
+        logger.info("using persisted tuned sed_threshold %.2f", tuned)
     from_wav = cfg.training.get("from_wav", False)
     db = None if from_wav else build_database_from_cfg(cfg)
     model = build_model(
@@ -97,6 +113,8 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
                                  n_input_channels=cfg.model.encoder.n_input_channels)
             logger.info("[%s] TTA enabled: %d symmetry variants", split, len(tta))
 
+        if tuned is not None:
+            trainer.sed_threshold = tuned
         sub_dir = os.path.join(cfg.dir.output_dir.submission, split)
         pred_dir = os.path.join(cfg.dir.output_dir.prediction, split)
         written = trainer.predict_split(data, sub_dir, tta=tta,
@@ -107,6 +125,39 @@ def inference(exp_config: str, exp_group_dir: str = "./outputs", exp_suffix: str
             cfg.gt_meta_root_dir,
             "metadata_eval" if split == "eval" else "metadata_dev",
         )
+        if tune_threshold and split == "val":
+            if not os.path.isdir(gt_dir):
+                raise FileNotFoundError(
+                    f"--tune-threshold needs val ground truth at {gt_dir}")
+            from salsa_tpu.train.ensemble import (ensemble_predictions,
+                                                  write_ensemble)
+            from salsa_tpu.train.threshold import (save_tuned_threshold,
+                                                   sweep_fused)
+
+            fused = ensemble_predictions([pred_dir])
+            sweep = sweep_fused(
+                fused, gt_dir, cfg.data.n_classes,
+                version=str(cfg.get("eval_version", "2021")),
+                doa_threshold=cfg.get("doa_threshold", 20),
+                label_rate=cfg.data.label_rate)
+            tuned = sweep["best"]["threshold"]
+            path = save_tuned_threshold(cfg.dir.model.best, sweep)
+            at_default = next(
+                (r for r in sweep["rows"]
+                 if abs(r["threshold"] - trainer.sed_threshold) < 1e-9), None)
+            logger.info(
+                "[val] tuned sed_threshold %.2f (SELD %.4f vs %.4f at the "
+                "fixed %.2f) -> %s", tuned, sweep["best"]["seld"],
+                at_default["seld"] if at_default else float("nan"),
+                trainer.sed_threshold, path)
+            # re-write the val submissions at the tuned operating point so
+            # this run's artifacts are self-consistent (host-only rewrite;
+            # single-member fusion == thresholding the dumps, test-pinned)
+            written = write_ensemble(
+                fused, sub_dir, cfg.data.n_classes, sed_threshold=tuned,
+                version=str(cfg.get("eval_version", "2021")))
+            results["tuned_threshold"] = tuned
+            results["threshold_sweep"] = sweep
         if os.path.isdir(gt_dir) and split != "eval":
             scores = evaluate_submissions(
                 sub_dir, gt_dir, version=str(cfg.get("eval_version", "2021")),
@@ -131,9 +182,19 @@ def main():
     p.add_argument("--checkpoint", default="best", choices=["best", "last"])
     p.add_argument("--tta", action="store_true",
                    help="average predictions over channel-swap symmetry variants")
+    p.add_argument("--tune-threshold", action="store_true",
+                   help="calibrate sed_threshold on the val split (host-side "
+                        "sweep over the prediction dumps), persist the argmin "
+                        "beside the checkpoints, and apply it to the other "
+                        "splits — the operating-point re-tune a challenge "
+                        "entry performs before submitting")
+    p.add_argument("--use-tuned-threshold", action="store_true",
+                   help="apply a previously tuned sed_threshold "
+                        "(tuned_threshold.json) instead of the config value")
     a = p.parse_args()
     inference(a.exp_config, a.exp_group_dir, a.exp_suffix, a.splits, a.checkpoint,
-              use_tta=a.tta)
+              use_tta=a.tta, tune_threshold=a.tune_threshold,
+              use_tuned_threshold=a.use_tuned_threshold)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ from salsa_tpu.pipeline import SeldInferencePipeline
 from salsa_tpu.train import checkpoint as ckpt
 from salsa_tpu.train.submission import write_classwise_csv
 from salsa_tpu.train.state import create_train_state, make_optimizer
-from salsa_tpu.utils.audio_io import read_wav
+from salsa_tpu.utils.audio_io import read_wav, resampled_length, wav_info
 from salsa_tpu.utils.experiments import manage_experiments, logger
 from salsa_tpu.cli._errors import cli_entry
 
@@ -52,7 +52,8 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
             checkpoint_kind: str = "best", batch_size: int = 4,
             streaming: bool = False, block_frames: int = 160,
             context_frames: int = 256, push_ms: float = 100.0,
-            streams: int = 1, pcm16: bool = False, pool: bool = False):
+            streams: int = 1, pcm16: bool = False, pool: bool = False,
+            max_lag_ms: float | None = None):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
@@ -94,8 +95,12 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
     interp_ratio = model.time_downsample_ratio * d.label_rate / (d.fs / d.hop_len)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if streaming:
-        fn = _predict_streaming_pool if pool else _predict_streaming
-        return fn(
+        if pool:
+            return _predict_streaming_pool(
+                cfg, d, model, variables, scaler, interp_ratio, wav_dir,
+                out_dir, wavs, block_frames, context_frames, push_ms, streams,
+                pcm16, max_lag_ms)
+        return _predict_streaming(
             cfg, d, model, variables, scaler, interp_ratio, wav_dir, out_dir,
             wavs, block_frames, context_frames, push_ms, streams, pcm16)
     pipe = SeldInferencePipeline(
@@ -172,10 +177,11 @@ def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
 
     buckets: dict[int, list[str]] = {}
     for w in wavs:
-        # header-only read would do; re-read below keeps memory at one group
-        a, _ = read_wav(os.path.join(wav_dir, w), target_fs=d.fs)
-        audio_seconds += a.shape[1] / d.fs
-        buckets.setdefault(a.shape[1], []).append(w)
+        # header-only probe: bucketing by length must not cost a decode pass
+        _, n_raw, fs_raw = wav_info(os.path.join(wav_dir, w))
+        n_at_fs = resampled_length(n_raw, fs_raw, d.fs)
+        audio_seconds += n_at_fs / d.fs
+        buckets.setdefault(n_at_fs, []).append(w)
     groups = [(n, names[i : i + N]) for n, names in sorted(buckets.items())
               for i in range(0, len(names), N)]
 
@@ -234,7 +240,8 @@ def _predict_streaming(cfg, d, model, variables, scaler, interp_ratio, wav_dir,
 def _predict_streaming_pool(cfg, d, model, variables, scaler, interp_ratio,
                             wav_dir, out_dir, wavs, block_frames,
                             context_frames, push_ms, streams: int = 1,
-                            pcm16: bool = False):
+                            pcm16: bool = False,
+                            max_lag_ms: float | None = None):
     """Unsynchronized-live serving through the dynamic stream pool
     (`stream_pool.py`): every wav is an independent live stream that attaches
     to a free slot, streams in push_ms packets at its own length, and detaches
@@ -258,7 +265,9 @@ def _predict_streaming_pool(cfg, d, model, variables, scaler, interp_ratio,
         se, model, variables, scaler, interp_ratio, d.n_classes,
         d.get("output_format", "reg_xyz"),
         left_context=context_frames, right_context=context_frames)
-    pool = SeldStreamPool(pipe)
+    max_lag = None if max_lag_ms is None else max(1, int(max_lag_ms * d.fs
+                                                         / 1000))
+    pool = SeldStreamPool(pipe, max_lag=max_lag)
 
     def _read(name):
         a, _ = read_wav(os.path.join(wav_dir, name), target_fs=d.fs)
@@ -271,6 +280,10 @@ def _predict_streaming_pool(cfg, d, model, variables, scaler, interp_ratio,
             logger.warning("%s: too short to go live; no predictions",
                            s["name"])
             return
+        if s.get("fills"):
+            logger.warning("%s: stall policy zero-filled label frames %s — "
+                           "those predictions are concealment output",
+                           s["name"], s["fills"])
         ev = np.concatenate([o[0] for o in s["outs"]], axis=0)
         doa = np.concatenate([o[1] for o in s["outs"]], axis=0)
         write_classwise_csv(
@@ -282,34 +295,51 @@ def _predict_streaming_pool(cfg, d, model, variables, scaler, interp_ratio,
     todo = list(wavs)
     active: dict[int, dict] = {}
     lat, audio_seconds, done = [], 0.0, 0
+    held: tuple[str, np.ndarray] | None = None  # decoded but no free slot yet
     t_all = time.time()
-    while todo or active:
+    while todo or held or active:
         # fill freed slots with the next files (slots free as a detached
-        # stream's final block emits, so attach() can say "full" mid-drain)
-        while todo:
+        # stream's final block emits, so attach() can say "full" mid-drain).
+        # Decode BEFORE attaching: an unreadable wav is then skipped without
+        # ever reserving a slot (a reserved-but-never-detached handle would
+        # shrink pool capacity for the rest of the run).
+        while todo or held:
+            if held is None:
+                name = todo.pop(0)
+                try:
+                    held = (name, _read(name))
+                except Exception as e:
+                    logger.error("%s: unreadable (%s); skipped", name, e)
+                    done += 1
+                    continue
             h = pool.attach()
             if h is None:
-                break
-            audio = _read(todo[0])
+                break  # pool full: keep the decoded clip for the next round
+            name, audio = held
+            held = None
             audio_seconds += audio.shape[1] / d.fs
-            active[h] = {"name": todo.pop(0), "audio": audio, "pos": 0,
+            active[h] = {"name": name, "audio": audio, "pos": 0,
                          "outs": [], "ended": False}
         for h, s in list(active.items()):
+            # time every call that can deliver prediction blocks (push,
+            # detach's fast-forward burst, poll) so the logged p50/p95 cover
+            # the same work the non-pool path times via push+flush
+            t0 = time.time()
             if not s["ended"]:
-                t0 = time.time()
                 got = pool.push(h, s["audio"][:, s["pos"] : s["pos"] + push])
-                if got:
-                    lat.append(time.time() - t0)
-                s["outs"] += got
                 s["pos"] += push
                 if s["pos"] >= s["audio"].shape[1]:
-                    s["outs"] += pool.detach(h)
+                    got += pool.detach(h)
+                    s["fills"] = pool.fill_label_ranges(h)
                     s["ended"] = True
                     s["audio"] = None  # free the samples; only outs remain
             else:
                 # draining: the remaining blocks complete as the other live
                 # streams advance the shared pool clock
-                s["outs"] += pool.poll(h)
+                got = pool.poll(h)
+            if got:
+                lat.append(time.time() - t0)
+            s["outs"] += got
             if s["ended"] and pool.finished(h):
                 _write(s)
                 del active[h]
@@ -358,10 +388,17 @@ def main():
                         "streams through the dynamic slot pool (--streams "
                         "slots) — mixed durations attach/detach mid-flight, "
                         "no equal-length grouping")
+    p.add_argument("--max-lag-ms", type=float, default=None,
+                   help="pool: bound head-of-line blocking — a live stream "
+                        "whose client stops pushing only holds the others "
+                        "back this long, then its slot is zero-filled and "
+                        "the concealed label frames are reported (default: "
+                        "exact lock-step clock, no fill)")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
             a.checkpoint, a.batch_size, a.streaming, a.block_frames,
-            a.context_frames, a.push_ms, a.streams, a.pcm16, a.pool)
+            a.context_frames, a.push_ms, a.streams, a.pcm16, a.pool,
+            a.max_lag_ms)
 
 
 if __name__ == "__main__":

@@ -206,9 +206,19 @@ def cutout_holes_dev(key, x, n_holes, hole_size, n_zero_channels):
 # ---------------------------------------------------------------------------
 
 def make_device_augment(feature_type: str, audio_format: str, n_classes: int,
-                        train_chunk_len: int, n_features: int):
+                        train_chunk_len: int, n_features: int,
+                        mode: str = "full"):
     """Returns fn(key, x_batch, sed_batch, doa_batch) applying the same augmentation
-    wiring as data/transforms.py::build_train_transforms, fully in-graph."""
+    wiring as data/transforms.py::build_train_transforms, fully in-graph.
+
+    mode: "full" (reference stack — label-coupled channel swaps + feature-only
+    transforms) or "feature" (frequency shift + cutout family only, no channel
+    swaps) — the knob the augmentation ablation (scripts/aug_ablation.py)
+    measures; the reference only ever demonstrates the full stack
+    (dataset/datamodule.py:44-100)."""
+    if mode not in ("full", "feature"):
+        raise ValueError(f"device_augment mode must be 'full' or 'feature', "
+                         f"got {mode!r}")
     aspect = train_chunk_len / n_features
     tfmap = feature_type in ("salsa", "salsa_lite", "salsa_ipd", "linspeciv",
                              "melspeciv")
@@ -219,7 +229,9 @@ def make_device_augment(feature_type: str, audio_format: str, n_classes: int,
     def one(key, x, sed, doa):
         ks = jax.random.split(key, 6)
         # joint channel swap (p=0.5)
-        if tfmap and audio_format == "foa":
+        if mode == "feature":
+            pass  # no label-coupled swaps in the feature-only ablation arm
+        elif tfmap and audio_format == "foa":
             m = jax.random.bernoulli(ks[0], 0.5, (4,)).astype(jnp.float32)
             apply = jax.random.bernoulli(ks[1], 0.5)
             m = m * apply

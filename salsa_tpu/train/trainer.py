@@ -493,12 +493,16 @@ class SeldTrainer:
         loss_weight = tuple(cfg.training.get("loss_weight", (0.3, 0.7)))
         self._loss_weight = loss_weight
         augment_fn = None
-        if cfg.training.get("device_augment", False):
+        dev_aug = cfg.training.get("device_augment", False)
+        if dev_aug:
             from salsa_tpu.train.device_augment import make_device_augment
 
+            # device_augment: true (full reference stack) or "feature"
+            # (feature-only transforms, no channel swaps — the ablation arm)
             augment_fn = make_device_augment(
                 cfg.feature_type, cfg.data.audio_format, self.n_classes,
                 train_data.feature_chunk_len, train_data.features.shape[2],
+                mode=dev_aug if isinstance(dev_aug, str) else "full",
             )
             if joint_transform is not None or feature_transform is not None:
                 logger.warning("device_augment enabled: host transforms are ignored")

@@ -32,6 +32,54 @@ def resample(audio: np.ndarray, orig_fs: int, target_fs: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def wav_info(path: str) -> tuple[int, int, int]:
+    """Header-only WAV probe: (n_channels, n_samples, fs) without decoding.
+
+    Walks the RIFF chunks like `_read_wav_py` but seeks past the data payload,
+    so probing a directory of clips for duration bucketing (cli/predict.py
+    --streaming) costs a few hundred bytes of IO per file instead of a full
+    decode pass."""
+    with open(path, "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            chunk_id, chunk_size = struct.unpack("<4sI", hdr)
+            if chunk_id == b"fmt ":
+                fmt = f.read(chunk_size)
+                if chunk_size % 2:
+                    f.read(1)
+            else:
+                if chunk_id == b"data":
+                    data_size = chunk_size
+                f.seek(chunk_size + (chunk_size % 2), 1)
+            if fmt is not None and data_size is not None:
+                break
+    if fmt is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    _fmt, n_channels, fs, _rate, block_align, _bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    return n_channels, data_size // block_align, fs
+
+
+def resampled_length(n_samples: int, orig_fs: int, target_fs: int) -> int:
+    """Output length of `resample(audio, orig_fs, target_fs)` along the last
+    axis (scipy.signal.resample_poly: ceil(n * up / down) after gcd
+    reduction) — lets header-only probes predict post-resample lengths."""
+    if orig_fs == target_fs:
+        return n_samples
+    from math import gcd
+
+    g = gcd(int(orig_fs), int(target_fs))
+    up, down = int(target_fs) // g, int(orig_fs) // g
+    return -(-n_samples * up // down)
+
+
 def read_wav(path: str, prefer_native: bool = True,
              target_fs: int | None = None) -> tuple[np.ndarray, int]:
     """Read a WAV file.

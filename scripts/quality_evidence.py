@@ -99,7 +99,7 @@ def main():
                                    keep_existing=True)
     print(f"extraction: {time.time()-t0:.1f}s", flush=True)
 
-    def write_exp(seed: int) -> str:
+    def write_exp(seed: int, tail_const: bool = False) -> str:
         exp_cfg = {
             "name": "q", "feature_root_dir": feature_dir, "feature_type": "salsa",
             "gt_meta_root_dir": data_dir, "split_meta_dir": meta_dir,
@@ -121,9 +121,19 @@ def main():
             },
             "training": {"train_batch_size": 16, "optimizer": "adam",
                          "device_data": True, "device_augment": True,
-                         "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
-                                          "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
-                                          "moms": [0.9, 0.9, 0.9, 0.9]},
+                         # tail_const: SWA's missing half — a CONSTANT-LR
+                         # averaging phase over the last 30% of training, so
+                         # the tail checkpoints sample one basin instead of a
+                         # still-decaying trajectory (classic SWA recipe;
+                         # expressible directly in the np.interp schedule)
+                         "lr_scheduler": (
+                             {"milestones": [0.0, 0.1, 0.55, 0.7, 1.0],
+                              "lrs": [3e-4, 3e-4, 3e-4, 1e-4, 1e-4],
+                              "moms": [0.9, 0.9, 0.9, 0.9, 0.9]}
+                             if tail_const else
+                             {"milestones": [0.0, 0.1, 0.7, 1.0],
+                              "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
+                              "moms": [0.9, 0.9, 0.9, 0.9]}),
                          "loss_weight": [0.3, 0.7],
                          "max_epochs": args.epochs,
                          "val_interval": max(1, args.epochs // 4)},
@@ -235,6 +245,39 @@ def main():
     results["swa"] = {"n_ckpts": len(tail), "member0": member_scores[0],
                       "swa": r_swa["val"]}
     print(json.dumps({"swa_row": results["swa"]}), flush=True)
+
+    # ---- SWA WITH its averaging phase (constant-LR tail; VERDICT r4 #5):
+    # train one member whose last 30% of epochs run at a constant LR, then
+    # average the checkpoints FROM that phase — the recipe the plain-schedule
+    # row above is missing. Compared against the same member's own best
+    # checkpoint (identical seed/data/budget; only the averaging differs). ----
+    swam_exp = write_exp(100, tail_const=True)
+    suffix = "_swam"
+    swam_dir = os.path.join(out_root, "crossval", "foa", "salsa", "exp_swam")
+    if not os.path.isdir(os.path.join(swam_dir, "models", "best")) or not any(
+            f.endswith(".msgpack")
+            for f in os.listdir(os.path.join(swam_dir, "models", "best"))):
+        t0 = time.time()
+        train(swam_exp, exp_group_dir=out_root, exp_suffix=suffix)
+        print(f"tail-const member trained in {time.time()-t0:.0f}s", flush=True)
+    r_member = inference(swam_exp, exp_group_dir=out_root, exp_suffix=suffix,
+                         splits=["val"])
+    ckpt_dir = os.path.join(swam_dir, "models", "checkpoint")
+    n_const = max(2, int(0.3 * args.epochs) - 2)  # inside the constant phase
+    tail = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack"))
+    tail = [os.path.join(ckpt_dir, f) for f in tail[-n_const:]]
+    swa2_dir = os.path.join(out_root, "crossval", "foa", "salsa", "exp_swa2")
+    shutil.rmtree(swa2_dir, ignore_errors=True)
+    os.makedirs(os.path.join(swa2_dir, "models", "checkpoint"), exist_ok=True)
+    average_checkpoint_files(
+        tail, os.path.join(swa2_dir, "models", "checkpoint",
+                           "epoch000.msgpack"))
+    r_swa2 = inference(swam_exp, exp_group_dir=out_root, exp_suffix="_swa2",
+                       splits=["val"], checkpoint_kind="last")
+    results["swa_tail"] = {"n_ckpts": len(tail),
+                           "member_const_tail": r_member["val"],
+                           "swa": r_swa2["val"]}
+    print(json.dumps({"swa_tail_row": results["swa_tail"]}), flush=True)
 
     results["threshold_sweep"] = run_threshold_sweep(root, args.members)
     print(json.dumps({"quality_evidence": results}))

@@ -111,6 +111,11 @@ def main():
     ap.add_argument("--encoder", default="PannResNet22",
                     help="encoder registry name (PannResNet22TPU = lane-aligned "
                          "stem variant, beyond-reference)")
+    ap.add_argument("--aug", default="full", choices=["full", "feature", "off"],
+                    help="augmentation arm: full reference stack (channel "
+                         "swaps + feature transforms), feature-only (no "
+                         "swaps), or off — the ablation scripts/aug_ablation"
+                         ".py measures")
     args = ap.parse_args()
     fmt = args.audio_format
     feature_type = args.feature_type or ("salsa" if fmt == "foa" else "salsa_lite")
@@ -188,7 +193,9 @@ def main():
         "training": {"train_batch_size": 16, "optimizer": "adam",
                      "accdoa_silent_weight": args.accdoa_silent_weight,
                      "from_wav": args.from_wav,
-                     "device_data": True, "device_augment": True,
+                     "device_data": True,
+                     "device_augment": {"full": True, "feature": "feature",
+                                        "off": False}[args.aug],
                      "lr_scheduler": {"milestones": [0.0, 0.1, 0.7, 1.0],
                                       "lrs": [3e-4, 3e-4, 3e-4, 1e-4],
                                       "moms": [0.9, 0.9, 0.9, 0.9]},

@@ -67,6 +67,24 @@ def test_resample_round_trip(tmp_path, rng):
     assert np.sqrt(np.mean((y - x)[:, 500:-500] ** 2)) < 2e-3  # rms error
 
 
+@pytest.mark.parametrize("bits", [16, 24, 32])
+def test_wav_info_header_only(tmp_path, rng, bits):
+    """wav_info must report (channels, samples, fs) without decoding, matching
+    the full reader, and resampled_length must predict the post-resample
+    length read_wav(target_fs=...) actually returns (cli/predict.py's
+    --streaming bucketing relies on both)."""
+    from salsa_tpu.utils.audio_io import resampled_length, wav_info
+
+    x = (rng.standard_normal((4, 3217)) * 0.3).astype(np.float32)
+    p = str(tmp_path / f"i{bits}.wav")
+    write_wav(p, x, 16000, bits=bits)
+    ch, n, fs = wav_info(p)
+    assert (ch, n, fs) == (4, 3217, 16000)
+    data, _ = read_wav(p, target_fs=24000)
+    assert resampled_length(n, fs, 24000) == data.shape[1]
+    assert resampled_length(n, fs, fs) == n
+
+
 def test_read_wav_target_fs(tmp_path):
     from salsa_tpu.utils.audio_io import read_wav, write_wav
 

@@ -103,6 +103,51 @@ def test_train_and_infer_cli(workspace):
     assert "test" in results and "seld_error" in results["test"]
 
 
+@pytest.mark.slow
+def test_infer_tune_threshold_cli(workspace):
+    """--tune-threshold: calibrates sed_threshold on the val dumps, persists
+    the argmin beside the checkpoints, applies it to the later splits, and
+    never scores worse than the fixed config threshold (0.3 is in the sweep
+    grid, so the argmin is <= it by construction — the assertion pins the
+    wiring, not luck). --use-tuned-threshold then reloads the sidecar."""
+    tmp, data_cfg, meta, data_dir = workspace
+    exp_cfg_path = str(tmp / "exp.yml")
+    if not os.path.exists(exp_cfg_path):
+        pytest.skip("train test did not run first")
+    from salsa_tpu.cli.infer import inference
+    from salsa_tpu.train.threshold import load_tuned_threshold
+
+    results = inference(exp_cfg_path, exp_group_dir=str(tmp / "outputs"),
+                        exp_suffix="_x", splits=["val", "test"],
+                        tune_threshold=True)
+    assert "tuned_threshold" in results
+    sweep = results["threshold_sweep"]
+    at_fixed = next(r for r in sweep["rows"] if abs(r["threshold"] - 0.3) < 1e-9)
+    assert sweep["best"]["seld"] <= at_fixed["seld"]
+    # the val score reported IS the tuned operating point's score
+    assert abs(results["val"]["seld_error"] - sweep["best"]["seld"]) < 1e-6
+    # persisted beside the checkpoints, reloadable
+    best_dir = os.path.join(str(tmp / "outputs"), "crossval", "mic",
+                            "salsa_lite", "exp_x", "models", "best")
+    assert load_tuned_threshold(best_dir) == results["tuned_threshold"]
+    r2 = inference(exp_cfg_path, exp_group_dir=str(tmp / "outputs"),
+                   exp_suffix="_x", splits=["test"], use_tuned_threshold=True)
+    assert "test" in r2
+
+    # ensemble-side tuning over the same dumps: single-member fusion at the
+    # tuned threshold must reproduce the tuned val score exactly
+    from salsa_tpu.cli.ensemble import ensemble
+
+    pred_dir = os.path.join(str(tmp / "outputs"), "crossval", "mic",
+                            "salsa_lite", "exp_x", "outputs", "predictions",
+                            "val")
+    s = ensemble([pred_dir], str(tmp / "fused_tuned"), n_classes=3,
+                 gt_meta_dir=os.path.join(data_dir, "metadata_dev"),
+                 tune_threshold=True)
+    assert s["tuned_threshold"] == results["tuned_threshold"]
+    assert abs(s["seld_error"] - results["val"]["seld_error"]) < 1e-9
+
+
 def test_predict_cli_direct_from_wavs(workspace):
     tmp, data_cfg, meta, data_dir = workspace
     # requires the trained experiment from test_train_and_infer_cli
@@ -210,7 +255,11 @@ def test_predict_cli_streaming_pool(workspace, tmp_path):
     rng = np.random.default_rng(13)
     mixed = tmp_path / "pool_wavs"
     mixed.mkdir()
-    lengths = {"long_a": 6.4, "short_b": 4.0, "long_c": 6.4}
+    # predict() serves wavs in sorted order: a_long and b_short fill the two
+    # slots first, b_short detaches at 4.0 s while a_long is still live (the
+    # genuine mid-flight detach-with-live-partner case), and c_long then
+    # attaches to the freed slot mid-flight
+    lengths = {"a_long": 6.4, "b_short": 4.0, "c_long": 6.4}
     for name, secs in lengths.items():
         n = int(secs * FS)
         t = np.arange(n) / FS

@@ -68,6 +68,25 @@ def test_batched_augment_runs_and_changes_data(rng):
     assert np.all(np.isfinite(np.asarray(x2)))
 
 
+def test_feature_mode_transforms_features_but_never_labels(rng):
+    """mode='feature' (the ablation arm): frequency shift + cutout family
+    still fire, but label-coupled channel swaps are disabled — DOA/SED labels
+    pass through untouched for EVERY key, while features still change."""
+    fn = da.make_device_augment("salsa", "mic", 3, 40, 30, mode="feature")
+    x = jnp.asarray(rng.standard_normal((8, 7, 40, 30)), jnp.float32)
+    sed = jnp.asarray(rng.standard_normal((8, 5, 3)), jnp.float32)
+    doa = jnp.asarray(rng.standard_normal((8, 5, 9)), jnp.float32)
+    changed = False
+    for seed in range(4):
+        x2, sed2, doa2 = jax.jit(fn)(jax.random.PRNGKey(seed), x, sed, doa)
+        np.testing.assert_array_equal(np.asarray(doa2), np.asarray(doa))
+        np.testing.assert_array_equal(np.asarray(sed2), np.asarray(sed))
+        changed = changed or not np.allclose(np.asarray(x2), np.asarray(x))
+    assert changed, "feature-only transforms never fired"
+    with pytest.raises(ValueError):
+        da.make_device_augment("salsa", "mic", 3, 40, 30, mode="nope")
+
+
 @pytest.mark.parametrize("m", [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0)])
 def test_gcc_swap_dev_matches_host(rng, m):
     from salsa_tpu.data.transforms import SwapChannelGccMic

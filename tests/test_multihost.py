@@ -15,9 +15,21 @@ import sys
 import numpy as np
 import pytest
 
-from tests.multihost_worker import run as run_single_process
+from tests.multihost_worker import run as _run_single_process
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_single_cache: dict[str, list[float]] = {}
+
+
+def run_single_process(mode: str = "", **kw) -> list[float]:
+    """Module-cached single-process oracle: the host-fed problem is identical
+    across the plain-training and checkpoint-resume tests, so its 8-device
+    expected run (a multi-minute compile+train on this 1-core box) is paid
+    once per session, not once per test."""
+    if mode not in _single_cache:
+        _single_cache[mode] = _run_single_process(mode=mode, **kw)
+    return _single_cache[mode]
 
 
 def _free_port() -> int:

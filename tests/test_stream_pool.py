@@ -190,6 +190,180 @@ def test_pool_slot_reuse_capacity_one():
     _assert_equal(got_c, solo_c, atol=1e-5)
 
 
+def test_pool_pending_detach_promotes_to_solo():
+    """A clip fully pushed BETWEEN block boundaries (another stream holds the
+    clock mid-block) and detached while still 'pending' must not be dropped:
+    detach() promotes it — it goes live at the next boundary and immediately
+    drains, so its predictions equal the solo run exactly (the CLI relies on
+    this for sub-block clips; a discarded pending stream would silently lose
+    the clip from downstream evaluation)."""
+    setup = _setup(fmax_doa=2000.0)
+    wave_a = _wave(8, 4.2)
+    wave_b = _wave(9, 1.1)  # shorter than one pool block (TICK/FS = 1.6 s)
+    solo_b = _solo(*setup, wave_b)
+
+    pool = _pool(*setup, capacity=2)
+    ha = pool.attach()
+    push = 2500
+    # park the pool clock mid-block: one block plus a fraction
+    pos_a = 0
+    while pos_a < TICK + push:
+        pool.push(ha, wave_a[:, pos_a : pos_a + push])
+        pos_a += push
+    hb = pool.attach()
+    got_b = pool.push(hb, wave_b)       # everything at once, mid-block
+    got_b += pool.detach(hb)            # still pending -> promoted, not dropped
+    while pos_a < wave_a.shape[1]:      # A's feed advances the shared clock
+        pool.push(ha, wave_a[:, pos_a : pos_a + push])
+        pos_a += push
+        got_b += pool.poll(hb)
+    pool.detach(ha)                     # last live stream: fast-forward drains
+    got_b += pool.poll(hb)
+
+    _assert_equal(got_b, solo_b, atol=1e-5)
+    assert pool.finished(hb) and pool.n_live == 0
+
+
+def test_pool_no_fill_for_healthy_paced_streams_with_joiner_backlog():
+    """Regression for the round-5 hardware verify failure: two equal-pace
+    streams fed round-robin, where B misses block-0 activation by push
+    ordering and waits one block as pending, accumulating exactly one block
+    of backlog. With max_lag SMALLER than a block, the stall policy must NOT
+    read that normal join backlog as clock lag — no stream may be
+    zero-filled, and both outputs stay exactly their solo runs (B's merely
+    delayed by its activation block)."""
+    setup = _setup(fmax_doa=2000.0)
+    wave_a = _wave(20, 4.0)
+    wave_b = _wave(21, 4.0)
+    solo_a = _solo(*setup, wave_a)
+    solo_b = _solo(*setup, wave_b)
+
+    pool = _pool(*setup, capacity=2)
+    pool.max_lag = TICK // 4  # well under one block — the failing geometry
+    ha, hb = pool.attach(), pool.attach()
+    push = 2500
+    got_a, got_b = [], []
+    ended_a = ended_b = False
+    pos = 0
+    while not (ended_a and ended_b):
+        if not ended_a:
+            got_a += pool.push(ha, wave_a[:, pos : pos + push])
+            if pos + push >= wave_a.shape[1]:
+                got_a += pool.detach(ha)
+                ended_a = True
+        if not ended_b:
+            # B's first push lands AFTER the clock left boundary 0: B stays
+            # pending for a full block while A paces the clock
+            got_b += pool.push(hb, wave_b[:, pos : pos + push])
+            if pos + push >= wave_b.shape[1]:
+                got_b += pool.detach(hb)
+                ended_b = True
+        pos += push
+    got_a += pool.poll(ha)
+    got_b += pool.poll(hb)
+
+    assert pool.fill_report(ha) == [] and pool.fill_report(hb) == []
+    _assert_equal(got_a, solo_a, atol=1e-5)
+    _assert_equal(got_b, solo_b, atol=1e-5)
+
+
+def test_pool_stall_policy_zero_fills_laggard():
+    """max_lag bounds head-of-line blocking: stream B goes live then falls
+    silent; A keeps pushing. With max_lag = one block, A's predictions keep
+    flowing (and stay exactly its solo run — slots are independent), while
+    B's slot is zero-filled and the concealment is reported. Under the
+    default exact clock the same scenario would freeze A's output after one
+    block."""
+    setup = _setup(fmax_doa=2000.0)
+    wave_a = _wave(10, 10.0)
+    wave_b = _wave(11, 0.5)
+    solo_a = _solo(*setup, wave_a)
+
+    pool = _pool(*setup, capacity=2)
+    pool.max_lag = TICK  # one pool block of allowed lag
+    ha, hb = pool.attach(), pool.attach()
+    push = 2500
+    got_a = pool.push(ha, wave_a[:, :push])  # A live from block 0
+    got_b = pool.push(hb, wave_b)  # B feeds half a second, then never again
+    for i in range(push, wave_a.shape[1], push):
+        got_a += pool.push(ha, wave_a[:, i : i + push])
+        got_b += pool.poll(hb)
+    # A's output flowed despite B's stall: several blocks before any detach
+    assert len(got_a) >= 2, "laggard froze the healthy stream's predictions"
+    got_b += pool.detach(hb)
+    got_a += pool.detach(ha)
+    got_b += pool.poll(hb)
+    _assert_equal(got_a, solo_a, atol=1e-5)
+
+    fills = pool.fill_report(hb)
+    assert fills, "stalled stream should have been zero-filled"
+    n_fill = sum(b - a for a, b in fills)
+    assert n_fill > 0
+    # effective length = pushed + filled; every fill starts after B's real feed
+    assert all(a >= wave_b.shape[1] for a, _ in fills)
+    # B's prediction count covers its effective (pushed + concealed) timeline
+    eb, _ = _cat(got_b)
+    label_ranges = pool.fill_label_ranges(hb)
+    assert label_ranges and label_ranges[0][0] <= eb.shape[0]
+
+
+def test_pool_tick_finishes_drains_behind_silent_live():
+    """tick(): with every live client silent, a detached stream's tail blocks
+    would stall forever under the lock-step clock; wall-clock ticks zero-fill
+    the silent live stream and complete the drain. The drained stream's
+    predictions still equal its solo run exactly (the fill lands in the OTHER
+    slot)."""
+    setup = _setup(fmax_doa=2000.0)
+    wave_a = _wave(12, 2.0)
+    wave_b = _wave(13, 2.4)
+    solo_b = _solo(*setup, wave_b)
+
+    pool = _pool(*setup, capacity=2)
+    ha, hb = pool.attach(), pool.attach()
+    pool.push(ha, wave_a)  # A goes live ... then its client falls silent
+    got_b = pool.push(hb, wave_b)
+    got_b += pool.detach(hb)  # B drains; A (live, silent) gates the clock
+    n_before = len(got_b)
+    for _ in range(64):
+        if pool.finished(hb):
+            break
+        pool.tick()
+        got_b += pool.poll(hb)
+    assert pool.finished(hb), "tick() failed to complete the drain"
+    assert len(got_b) > n_before
+    _assert_equal(got_b, solo_b, atol=1e-5)
+    assert pool.fill_report(ha), "silent live stream should carry the fill"
+
+
+def test_pool_accepts_int16_client_in_float_pool():
+    """dtype lift: a float32 pool accepts an int16 client (decoded host-side,
+    exact), so mixed clients share one pool; only an all-int16 pool keeps
+    int16 on the wire. An int16-first pool stays homogeneous."""
+    setup = _setup(fmax_doa=2000.0)
+    wave = _wave(14, 2.2)
+    q = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
+    dec = q.astype(np.float32) / 32768.0
+    solo = _solo(*setup, dec)
+
+    pool = _pool(*setup, capacity=2)
+    ha, hb = pool.attach(), pool.attach()
+    wave_a = _wave(15, 2.2)
+    got = []
+    for i in range(0, q.shape[1], 2500):
+        pool.push(ha, wave_a[:, i : i + 2500])    # float32 fixes pool dtype
+        got += pool.push(hb, q[:, i : i + 2500])  # int16 client, same pool
+    got += pool.detach(hb)
+    pool.detach(ha)
+    got += pool.poll(hb)
+    _assert_equal(got, solo, atol=1e-5)
+
+    pool2 = _pool(*setup, capacity=2)
+    h2 = pool2.attach()
+    pool2.push(h2, q[:, :4000])          # int16-first: homogeneous
+    with pytest.raises(ValueError):
+        pool2.push(h2, wave[:, :1000])
+
+
 def test_pool_api_guards():
     setup = _setup(fmax_doa=2000.0)
     pool = _pool(*setup, capacity=2)
