@@ -23,6 +23,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def run_seed(seed: int, clips: int, epochs: int, members: int) -> dict:
     workdir = f"/tmp/salsa_tpu_quality_s{seed}"
+    result_path = workdir + "_result.json"
+    if os.path.isfile(result_path):  # durable resume: a crash mid-campaign
+        with open(result_path) as f:  # (e.g. disk-full) must not cost the
+            return json.load(f)       # finished seeds' ~45 min each
     cmd = [sys.executable, os.path.join(HERE, "quality_evidence.py"),
            "--clips", str(clips), "--epochs", str(epochs),
            "--members", str(members), "--data-seed", str(seed),
@@ -38,7 +42,10 @@ def run_seed(seed: int, clips: int, epochs: int, members: int) -> dict:
     m = re.search(r'\{"quality_evidence": (.*)\}\s*$', r.stdout, re.M)
     if not m:
         raise RuntimeError(f"seed {seed}: no results line")
-    return json.loads(m.group(1))
+    result = json.loads(m.group(1))
+    with open(result_path, "w") as f:
+        json.dump(result, f)
+    return result
 
 
 def _seld(row) -> float:
