@@ -101,7 +101,12 @@ def main():
                    help="instead of output fusion: average these .msgpack "
                         "checkpoints in parameter space (SWA-style) into "
                         "--out-ckpt; drop the result into a models/best dir "
-                        "to infer with it")
+                        "to infer with it. NOT RECOMMENDED for quality: "
+                        "measured neutral-to-negative vs the best single "
+                        "checkpoint both under the reference LR schedule AND "
+                        "with a constant-LR averaging tail (BENCH.md "
+                        "multi-seed quality study); prefer output-space "
+                        "fusion (--pred-dirs)")
     p.add_argument("--out-ckpt", default=None,
                    help="output path for the averaged checkpoint (.msgpack)")
     p.add_argument("--weights", nargs="+", type=float, default=None,
