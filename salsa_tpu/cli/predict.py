@@ -53,10 +53,23 @@ def predict(exp_config: str, wav_dir: str, out_dir: str,
             streaming: bool = False, block_frames: int = 160,
             context_frames: int = 256, push_ms: float = 100.0,
             streams: int = 1, pcm16: bool = False, pool: bool = False,
-            max_lag_ms: float | None = None):
+            max_lag_ms: float | None = None,
+            use_tuned_threshold: bool = False):
     import jax.numpy as jnp
 
     cfg = manage_experiments(exp_config, exp_group_dir, exp_suffix, is_train=False)
+    if use_tuned_threshold:
+        from salsa_tpu.train.threshold import load_tuned_threshold
+
+        tuned = load_tuned_threshold(cfg.dir.model.best)
+        if tuned is None:
+            raise FileNotFoundError(
+                "--use-tuned-threshold: no tuned_threshold.json beside the "
+                "checkpoints — run `salsa-infer --tune-threshold` first")
+        # every CSV-writing path below reads cfg's sed_threshold, so serving
+        # applies the val-calibrated operating point uniformly
+        cfg.sed_threshold = tuned
+        logger.info("serving with tuned sed_threshold %.2f", tuned)
     d = cfg.data
     extractor = make_extractor(
         cfg.feature_type, d.audio_format, fs=d.fs, n_fft=d.n_fft,
@@ -394,11 +407,16 @@ def main():
                         "back this long, then its slot is zero-filled and "
                         "the concealed label frames are reported (default: "
                         "exact lock-step clock, no fill)")
+    p.add_argument("--use-tuned-threshold", action="store_true",
+                   help="serve at the val-calibrated sed_threshold persisted "
+                        "by `salsa-infer --tune-threshold` "
+                        "(tuned_threshold.json beside the checkpoints) "
+                        "instead of the config value")
     a = p.parse_args()
     predict(a.exp_config, a.wav_dir, a.out_dir, a.exp_group_dir, a.exp_suffix,
             a.checkpoint, a.batch_size, a.streaming, a.block_frames,
             a.context_frames, a.push_ms, a.streams, a.pcm16, a.pool,
-            a.max_lag_ms)
+            a.max_lag_ms, use_tuned_threshold=a.use_tuned_threshold)
 
 
 if __name__ == "__main__":

@@ -163,6 +163,51 @@ def test_predict_cli_direct_from_wavs(workspace):
     assert len(csvs) == 4
 
 
+def test_predict_cli_use_tuned_threshold(workspace, tmp_path):
+    """Serving applies the val-calibrated operating point: predict
+    --use-tuned-threshold must produce byte-identical CSVs to a config whose
+    sed_threshold is the persisted tuned value, and must fail loudly when no
+    tuned_threshold.json exists (requires test_infer_tune_threshold_cli's
+    sidecar)."""
+    tmp, data_cfg, meta, data_dir = workspace
+    exp_cfg_path = str(tmp / "exp.yml")
+    best_dir = os.path.join(str(tmp / "outputs"), "crossval", "mic",
+                            "salsa_lite", "exp_x", "models", "best")
+    from salsa_tpu.train.threshold import load_tuned_threshold
+
+    tuned = load_tuned_threshold(best_dir)
+    if tuned is None:
+        pytest.skip("tune-threshold test did not run first")
+    from salsa_tpu.cli.predict import predict
+
+    out_tuned = predict(
+        exp_cfg_path, wav_dir=os.path.join(data_dir, "mic_dev"),
+        out_dir=str(tmp_path / "tuned"), exp_group_dir=str(tmp / "outputs"),
+        exp_suffix="_x", batch_size=2, use_tuned_threshold=True)
+    # oracle: same experiment with the tuned value written as the config value
+    cfg = yaml.safe_load((tmp / "exp.yml").read_text())
+    cfg["sed_threshold"] = float(tuned)
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    (cfg_dir / "exp.yml").write_text(yaml.safe_dump(cfg))
+    out_fixed = predict(
+        str(cfg_dir / "exp.yml"), wav_dir=os.path.join(data_dir, "mic_dev"),
+        out_dir=str(tmp_path / "fixed"), exp_group_dir=str(tmp / "outputs"),
+        exp_suffix="_x", batch_size=2)
+    csvs = sorted(f for f in os.listdir(out_tuned) if f.endswith(".csv"))
+    assert csvs and csvs == sorted(
+        f for f in os.listdir(out_fixed) if f.endswith(".csv"))
+    for f in csvs:
+        assert (open(os.path.join(out_tuned, f)).read()
+                == open(os.path.join(out_fixed, f)).read()), f
+    # no sidecar -> loud failure naming the fix
+    with pytest.raises(FileNotFoundError, match="tune-threshold"):
+        predict(exp_cfg_path, wav_dir=os.path.join(data_dir, "mic_dev"),
+                out_dir=str(tmp_path / "nope"),
+                exp_group_dir=str(tmp / "outputs"), exp_suffix="_untuned",
+                use_tuned_threshold=True)
+
+
 @pytest.mark.slow
 def test_predict_cli_mixed_durations(workspace, tmp_path):
     """Serving a directory of arbitrary-length wavs must be exact per clip:
